@@ -1,0 +1,115 @@
+"""Forward dynamics pipeline and integrator: the TPU-native ``mjx.step``.
+
+Pipeline (all pure functions of ``(Model, Data)``):
+
+    kinematics -> collide -> com_velocity -> crba -> rnea_bias -> passive
+    -> actuation -> constraint_forces -> acceleration -> integrate
+
+``step`` advances one physics substep; ``step_n`` runs ``n`` substeps under
+``lax.scan`` (the reference's ``pipeline_step`` with ``n_frames`` substeps,
+``agents_env/agent_env_template.py:68``). Batch over envs with ``jax.vmap``;
+everything is static-shaped and jit-compiles into a single XLA program.
+
+Acceleration uses MuJoCo's implicit-damping Euler: ``(M + h*diag(damping))
+qacc = qfrc_smooth + qfrc_constraint`` so the default humanoid (damping=1 on
+all 28 hinges, ``final_humanoid.xml:5``) integrates stably at h = 2 ms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pbrl_tpu.maths import quaternion as quat
+from pbrl_tpu.model.spec import JointType, Model
+from pbrl_tpu.engine import collision, dynamics, kinematics, solver
+from pbrl_tpu.engine.data import Data, make_data  # noqa: F401 (re-export)
+
+
+def fwd_position(model: Model, data: Data) -> Data:
+    data = kinematics.kinematics(model, data)
+    data = collision.collide(model, data)
+    return data
+
+
+def fwd_velocity(model: Model, data: Data) -> Data:
+    data = kinematics.com_velocity(model, data)
+    data = dynamics.crba(model, data)
+    data = dynamics.rnea_bias(model, data)
+    data = dynamics.passive(model, data)
+    return data
+
+
+def fwd_acceleration(model: Model, data: Data) -> Data:
+    h = model.option.timestep
+    qfrc_smooth = (
+        data.qfrc_applied
+        + data.qfrc_actuator
+        + data.qfrc_passive
+        - data.qfrc_bias
+    )
+    rhs = qfrc_smooth + data.qfrc_constraint
+    # Implicit damping: fold h*D into the mass matrix before the solve. The
+    # explicit -D*qvel is already in qfrc_passive; together they realise
+    # M qacc = f - D qvel_{t+1} (MuJoCo Euler default).
+    m_impl = data.qM + h * jnp.diag(model.dof_damping)
+    # Dense SPD solve, nv x nv (34x34 for the humanoid). Batched under vmap —
+    # XLA lowers to a batched Cholesky across the env axis.
+    factor = jax.scipy.linalg.cho_factor(m_impl)
+    qacc = jax.scipy.linalg.cho_solve(factor, rhs)
+    return data.replace(qacc=qacc)
+
+
+def forward(model: Model, data: Data) -> Data:
+    """Full forward dynamics: fills every derived field including qacc."""
+    data = fwd_position(model, data)
+    data = fwd_velocity(model, data)
+    data = dynamics.actuation(model, data)
+    data = solver.constraint_forces(model, data)
+    data = fwd_acceleration(model, data)
+    return data
+
+
+def _integrate_qpos(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jnp.ndarray:
+    """Position integration per joint type (free-joint quat on the manifold)."""
+    out = qpos
+    for j in range(model.njnt):
+        qa, da = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        jt = model.jnt_type[j]
+        if jt == JointType.FREE:
+            out = out.at[qa : qa + 3].add(h * qvel[da : da + 3])
+            q = quat.integrate(qpos[qa + 3 : qa + 7], qvel[da + 3 : da + 6], h)
+            out = out.at[qa + 3 : qa + 7].set(q)
+        else:
+            out = out.at[qa].add(h * qvel[da])
+    return out
+
+
+def integrate(model: Model, data: Data) -> Data:
+    """Semi-implicit Euler: velocity first, then position with new velocity."""
+    h = model.option.timestep
+    qvel = data.qvel + h * data.qacc
+    qpos = _integrate_qpos(model, data.qpos, qvel, h)
+    return data.replace(qpos=qpos, qvel=qvel, time=data.time + h)
+
+
+def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None) -> Data:
+    """One physics substep. ``ctrl`` (if given) is held for the substep."""
+    if ctrl is not None:
+        data = data.replace(ctrl=ctrl)
+    data = forward(model, data)
+    return integrate(model, data)
+
+
+def step_n(model: Model, data: Data, n: int, ctrl: Optional[jnp.ndarray] = None) -> Data:
+    """``n`` substeps with held control, as a ``lax.scan`` (static n)."""
+    if ctrl is not None:
+        data = data.replace(ctrl=ctrl)
+
+    def body(d, _):
+        return step(model, d), None
+
+    data, _ = jax.lax.scan(body, data, None, length=n)
+    return data
