@@ -1,0 +1,137 @@
+"""Device-resident motion clips with time-indexed reference lookup.
+
+Replaces the reference's host-side clip indexing (the ``duration_dict``
+wall-clock loop in ``testing_forward_env.ipynb`` cell 20, SURVEY.md §3.3)
+with a pure device-side ``reference_state(clip, t)``: the whole rollout stays
+inside one XLA program, no host sync per step.
+
+DeepMimic clips are uniform-dt, so the frame index is a multiply + floor; a
+``wrap`` clip loops in time with the root's horizontal displacement
+accumulated per cycle (DeepMimic cycle-offset semantics) so walking
+references keep moving forward instead of teleporting back.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pbrl_tpu.maths import quaternion as quat
+from pbrl_tpu.mocap.convert import ParsedClip, parse_deepmimic
+
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "motions")
+
+
+@struct.dataclass
+class MotionClip:
+    """Static clip data living in HBM. Shapes: T frames, nq=35, nv=34."""
+
+    qpos: jnp.ndarray        # (T, nq)
+    qvel: jnp.ndarray        # (T, nv)
+    dt: jnp.ndarray          # () uniform frame dt
+    cycle_time: jnp.ndarray  # () total clip time
+    cycle_offset: jnp.ndarray  # (3,) root displacement per cycle (z zeroed)
+    loop: bool = struct.field(pytree_node=False)
+    num_frames: int = struct.field(pytree_node=False)
+    name: str = struct.field(pytree_node=False, default="clip")
+
+
+def from_parsed(p: ParsedClip, name: str = "clip", dtype=jnp.float32) -> MotionClip:
+    offset = p.qpos[-1, :3] - p.qpos[0, :3]
+    offset[2] = 0.0  # vertical displacement never accumulates
+    return MotionClip(
+        qpos=jnp.asarray(p.qpos, dtype),
+        qvel=jnp.asarray(p.qvel, dtype),
+        dt=jnp.asarray(p.dt, dtype),
+        cycle_time=jnp.asarray(p.total_time, dtype),
+        cycle_offset=jnp.asarray(offset, dtype),
+        loop=p.loop == "wrap",
+        num_frames=p.num_frames,
+        name=name,
+    )
+
+
+def load_clip(name_or_path: str, dtype=jnp.float32, **kw) -> MotionClip:
+    """Load a bundled clip by short name ('walk') or a file path."""
+    if os.path.exists(name_or_path):
+        path, name = name_or_path, os.path.splitext(os.path.basename(name_or_path))[0]
+    else:
+        path = os.path.join(_ASSET_DIR, f"humanoid3d_{name_or_path}.txt")
+        name = name_or_path
+        if not os.path.exists(path):
+            avail = sorted(
+                os.path.basename(p)[11:-4]
+                for p in glob.glob(os.path.join(_ASSET_DIR, "humanoid3d_*.txt"))
+            )
+            raise FileNotFoundError(
+                f"no clip {name_or_path!r}; bundled clips: {avail}"
+            )
+    return from_parsed(parse_deepmimic(path, **kw), name=name, dtype=dtype)
+
+
+def _frame_and_cycle(clip: MotionClip, t):
+    """(frame_float, cycle_count) for query time t (traced)."""
+    if clip.loop:
+        cycle = jnp.floor(t / clip.cycle_time)
+        t_mod = t - cycle * clip.cycle_time
+    else:
+        cycle = jnp.zeros_like(t)
+        t_mod = jnp.clip(t, 0.0, clip.cycle_time)
+    return t_mod / clip.dt, cycle
+
+
+def reference_state(clip: MotionClip, t, interpolate: bool = True):
+    """(qpos, qvel) of the reference motion at time ``t`` (scalar, traced).
+
+    Linear interpolation between frames; the root quaternion is slerped on
+    the manifold. ``wrap`` clips accumulate the horizontal cycle offset.
+    """
+    f, cycle = _frame_and_cycle(clip, t)
+    T = clip.num_frames
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, T - 1)
+    if not interpolate:
+        qpos = clip.qpos[i0]
+        qvel = clip.qvel[i0]
+    else:
+        alpha = f - i0.astype(f.dtype)
+        i1 = jnp.where(clip.loop, (i0 + 1) % T, jnp.minimum(i0 + 1, T - 1))
+        q0, q1 = clip.qpos[i0], clip.qpos[i1]
+        # wrap-around interval: frame T-1 -> frame 0 shifted by cycle_offset
+        wrapped = (i1 < i0).astype(q0.dtype)
+        q1 = q1.at[:3].add(wrapped * clip.cycle_offset)
+        qpos = q0 + alpha * (q1 - q0)
+        # root quaternion: slerp q0 -> q1
+        rq = quat.mul(
+            q0[3:7],
+            quat.from_rotvec(alpha * quat.to_rotvec(quat.mul(quat.conj(q0[3:7]), q1[3:7]))),
+        )
+        qpos = qpos.at[3:7].set(quat.normalize(rq))
+        qvel = clip.qvel[i0] + alpha * (clip.qvel[i1] - clip.qvel[i0])
+    qpos = qpos.at[:3].add(cycle * clip.cycle_offset)
+    return qpos, qvel
+
+
+def reference_frame_index(clip: MotionClip, t) -> jnp.ndarray:
+    """Integer frame index at time t (the reference's ``duration_dict``
+    pointer logic, device-side)."""
+    f, _ = _frame_and_cycle(clip, t)
+    return jnp.clip(jnp.floor(f).astype(jnp.int32), 0, clip.num_frames - 1)
+
+
+def phase(clip: MotionClip, t) -> jnp.ndarray:
+    """Normalized clip phase in [0, 1) — DeepMimic's phase observation."""
+    if clip.loop:
+        return (t % clip.cycle_time) / clip.cycle_time
+    return jnp.clip(t / clip.cycle_time, 0.0, 1.0)
+
+
+def bundled_clip_names():
+    return sorted(
+        os.path.basename(p)[11:-4]
+        for p in glob.glob(os.path.join(_ASSET_DIR, "humanoid3d_*.txt"))
+    )
