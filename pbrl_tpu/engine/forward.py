@@ -62,6 +62,16 @@ def fwd_acceleration(model: Model, data: Data) -> Data:
     return data.replace(qacc=qacc)
 
 
+def forward_smooth(model: Model, data: Data) -> Data:
+    """Kinematics + inertial quantities only (qM, qfrc_bias, cvel) — the
+    inputs PD controllers need (the reference read them off Brax pipeline
+    state, ``pds_controllers_agents.py:65-69``). No collision/constraint work.
+    """
+    data = kinematics.kinematics(model, data)
+    data = fwd_velocity(model, data)
+    return data
+
+
 def forward(model: Model, data: Data) -> Data:
     """Full forward dynamics: fills every derived field including qacc."""
     data = fwd_position(model, data)
