@@ -72,11 +72,21 @@ def forward_smooth(model: Model, data: Data) -> Data:
     return data
 
 
-def forward(model: Model, data: Data) -> Data:
-    """Full forward dynamics: fills every derived field including qacc."""
+def forward(model: Model, data: Data, qfrc_fn=None) -> Data:
+    """Full forward dynamics: fills every derived field including qacc.
+
+    ``qfrc_fn(model, data) -> (nv,)`` — optional in-loop controller hook,
+    invoked after the inertial quantities (qM, qfrc_bias, cvel) are cached
+    and before the constraint solve; its return value replaces
+    ``qfrc_applied`` for this step. This is how PD control runs *inside* the
+    physics substep loop (the reference could only apply torque once per
+    policy step from outside, ``agents_env/agent_mimic.py:220-228``).
+    """
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
     data = dynamics.actuation(model, data)
+    if qfrc_fn is not None:
+        data = data.replace(qfrc_applied=qfrc_fn(model, data))
     data = solver.constraint_forces(model, data)
     data = fwd_acceleration(model, data)
     return data
@@ -105,21 +115,31 @@ def integrate(model: Model, data: Data) -> Data:
     return data.replace(qpos=qpos, qvel=qvel, time=data.time + h)
 
 
-def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None) -> Data:
+def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None, qfrc_fn=None) -> Data:
     """One physics substep. ``ctrl`` (if given) is held for the substep."""
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
-    data = forward(model, data)
+    data = forward(model, data, qfrc_fn=qfrc_fn)
     return integrate(model, data)
 
 
-def step_n(model: Model, data: Data, n: int, ctrl: Optional[jnp.ndarray] = None) -> Data:
-    """``n`` substeps with held control, as a ``lax.scan`` (static n)."""
+def step_n(
+    model: Model,
+    data: Data,
+    n: int,
+    ctrl: Optional[jnp.ndarray] = None,
+    qfrc_fn=None,
+) -> Data:
+    """``n`` substeps with held control, as a ``lax.scan`` (static n).
+
+    With ``qfrc_fn`` the controller re-evaluates every substep against the
+    fresh state (DeepMimic-style PD at the physics rate).
+    """
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
 
     def body(d, _):
-        return step(model, d), None
+        return step(model, d, qfrc_fn=qfrc_fn), None
 
     data, _ = jax.lax.scan(body, data, None, length=n)
     return data

@@ -1,0 +1,139 @@
+"""Environment protocol, state pytree, and registry.
+
+TPU-native replacement for the Brax ``PipelineEnv``/``State`` surface the
+reference builds on (``agents_env/agent_env_template.py:33-77``,
+``brax.envs.register_environment`` / ``get_environment`` in the notebooks,
+SURVEY.md §3.1). Differences by design:
+
+* ``Env`` is a thin protocol over pure ``reset(rng) -> State`` and
+  ``step(state, action) -> State`` functions — no inheritance tower; the
+  reference's file-duplicated ``*2`` timestep variants collapse into
+  :class:`EnvConfig` fields.
+* ``State`` is a flat pytree batched with ``vmap``/sharded with
+  ``shard_map``; metrics are a dict of scalars updated every step (the
+  reference seeded ``{'step_index', 'pose_error', 'fall'}`` but never wrote
+  them, ``agent_env_template.py:93``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+from flax import struct
+
+from pbrl_tpu.engine.data import Data
+
+
+@struct.dataclass
+class State:
+    """Per-environment RL state (one env; batch via vmap)."""
+
+    pipeline: Data                    # physics state + derived caches
+    obs: jnp.ndarray                  # (obs_dim,)
+    reward: jnp.ndarray               # ()
+    done: jnp.ndarray                 # () 1.0 = episode over
+    metrics: Dict[str, jnp.ndarray]   # scalar diagnostics, updated each step
+    info: Dict[str, Any]              # rng key, episode bookkeeping
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Typed configuration replacing the reference's variant-by-file pattern.
+
+    ``variant1`` = 60 Hz policy / 500 Hz physics (8 substeps,
+    ``agent_env_template.py:60-68``); ``variant2`` = 30 Hz policy / 1200 Hz
+    physics (40 substeps, ``agent_env_template2.py:49-58``).
+    """
+
+    policy_dt: float = 1.0 / 60.0
+    physics_dt: float = 0.002
+    # -- mimic reward weights & scales (DeepMimic) --
+    w_pose: float = 0.65
+    w_vel: float = 0.1
+    w_ee: float = 0.15
+    w_com: float = 0.1
+    s_pose: float = 2.0
+    s_vel: float = 0.1
+    s_ee: float = 40.0
+    s_com: float = 10.0
+    # -- episode control --
+    reference_state_init: bool = True   # RSI: reset at a random clip phase
+    early_termination: bool = True      # terminate on fall
+    fall_contact_bodies: tuple = ()     # body names allowed to touch ground
+    max_episode_time: float = 10.0
+    # -- observation --
+    exclude_root_xy: bool = True        # translation-invariant obs
+    include_phase: bool = True
+    # -- action --
+    # "absolute": action = PD target angles in radians (reference semantics,
+    #             ``agent_mimic.py:58-91`` where the action IS the target);
+    # "residual": action adds to the reference pose at t+dt (imitation prior);
+    # "torque":   action bypasses PD and is applied as torque directly
+    #             (the reference's ``step_custom_target_and_outside``,
+    #             ``agent_mimic.py:239-271``).
+    action_mode: str = "absolute"
+    controller: str = "stable_pd"       # stable_pd | standard_pd | inverse_dynamics_pd
+    pd_per_substep: bool = True
+
+    @property
+    def n_substeps(self) -> int:
+        """Physics substeps per policy step.
+
+        Rounded like the reference's ``n_frames = int(_dt/0.002)``
+        (``agent_env_template.py:68``): variant1's 1/60 s policy dt is not an
+        exact multiple of 2 ms, so the *effective* policy period is
+        ``n_substeps * physics_dt`` (16 ms there) — see
+        :attr:`effective_policy_dt`.
+        """
+        n = max(1, round(self.policy_dt / self.physics_dt))
+        return int(n)
+
+    @property
+    def effective_policy_dt(self) -> float:
+        return self.n_substeps * self.physics_dt
+
+
+def variant1(**kw) -> EnvConfig:
+    return EnvConfig(policy_dt=1.0 / 60.0, physics_dt=0.002, **kw)
+
+
+def variant2(**kw) -> EnvConfig:
+    return EnvConfig(policy_dt=1.0 / 30.0, physics_dt=1.0 / 1200.0, **kw)
+
+
+class Env:
+    """Environment protocol: pure reset/step + static sizes."""
+
+    def reset(self, rng: jnp.ndarray) -> State:
+        raise NotImplementedError
+
+    def step(self, state: State, action: jnp.ndarray) -> State:
+        raise NotImplementedError
+
+    @property
+    def observation_size(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def action_size(self) -> int:
+        raise NotImplementedError
+
+
+_REGISTRY: Dict[str, Callable[..., Env]] = {}
+
+
+def register_environment(name: str, ctor: Callable[..., Env]) -> None:
+    """Register an env constructor (parity with ``brax.envs.register_environment``)."""
+    _REGISTRY[name] = ctor
+
+
+def get_environment(name: str, **kwargs) -> Env:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown environment {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def registered_environments():
+    return sorted(_REGISTRY)

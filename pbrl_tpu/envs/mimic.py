@@ -1,0 +1,240 @@
+"""Motion-imitation environment: PD-driven humanoid with DeepMimic reward.
+
+Rebuild + completion of the reference's ``HumanoidTrain``
+(``agents_env/agent_mimic.py:34-271``): the action is the PD target, the
+controller (standard / inverse-dynamics / Stable PD) turns it into torque,
+and the physics advances ``n_substeps`` at the physics rate. What the
+reference stubbed out is implemented for real:
+
+* DeepMimic imitation reward — pose / velocity / end-effector / COM terms
+  (reference placeholder: ``reward=jp.zeros(3)``, ``agent_mimic.py:84``);
+* early termination on fall via contact inspection (placeholder
+  ``done=1.0``, ``:72``);
+* reference-state initialisation (RSI): reset at a random clip phase;
+* live metrics: ``step_index``, ``pose_error``, ``fall`` (named but never
+  updated at ``agent_env_template.py:93``) plus the reward terms.
+
+PD torque is re-evaluated every physics substep against the fresh state
+(``pd_per_substep``), which the reference architecture could not express —
+its torque was computed once per policy step outside the substep loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pbrl_tpu.control import pd as ctrl
+from pbrl_tpu.engine.forward import forward_smooth, step_n
+from pbrl_tpu.engine.data import make_data
+from pbrl_tpu.engine.kinematics import kinematics as run_kinematics
+from pbrl_tpu.envs import humanoid_task as task
+from pbrl_tpu.envs.base import Env, EnvConfig, State
+from pbrl_tpu.mocap.clip import (
+    MotionClip,
+    phase,
+    reference_aux,
+    reference_frame_index,
+    reference_state,
+)
+from pbrl_tpu.model.spec import Model
+
+_CONTROLLERS = {
+    "standard_pd": "standard",
+    "inverse_dynamics_pd": "inverse",
+    "stable_pd": "stable",
+}
+
+
+class MimicEnv(Env):
+    """DeepMimic-style imitation of one motion clip."""
+
+    def __init__(
+        self,
+        model: Model,
+        clip: MotionClip,
+        config: EnvConfig = EnvConfig(),
+        gains: Optional[ctrl.Gains] = None,
+        actuator_mask: Optional[jnp.ndarray] = None,
+    ):
+        if config.controller not in _CONTROLLERS:
+            raise ValueError(
+                f"unknown controller {config.controller!r}; one of {sorted(_CONTROLLERS)}"
+            )
+        # Pin the model timestep to the configured physics rate (the
+        # reference forced opt.timestep the same way, agent_env_template.py:65).
+        model = model.replace(
+            option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
+        )
+        self.model = model
+        self.config = config
+        self.clip = clip if clip.ee_pos is not None else task.augment_clip(model, clip)
+        from pbrl_tpu.control import default_gains
+
+        self.gains = gains or default_gains()
+        self.actuator_mask = actuator_mask
+        allowed = config.fall_contact_bodies or ("right_ankle", "left_ankle")
+        self._fall_mask = task.fall_mask(model, allowed)
+        self._qposadr = jnp.asarray(model.actuator_qposadr, jnp.int32)
+        self._dofadr = jnp.asarray(model.actuator_dofadr, jnp.int32)
+
+    # -- sizes ------------------------------------------------------------
+    @property
+    def observation_size(self) -> int:
+        n = self.model.nq + self.model.nv
+        if self.config.exclude_root_xy:
+            n -= 2
+        if self.config.include_phase:
+            n += 1
+        return n
+
+    @property
+    def action_size(self) -> int:
+        return self.model.nu
+
+    # -- helpers ----------------------------------------------------------
+    def _obs(self, data) -> jnp.ndarray:
+        qpos = data.qpos[2:] if self.config.exclude_root_xy else data.qpos
+        parts = [qpos, data.qvel]
+        if self.config.include_phase:
+            parts.append(phase(self.clip, data.time)[None])
+        return jnp.concatenate(parts)
+
+    def _target(self, data, action) -> jnp.ndarray:
+        mode = self.config.action_mode
+        if mode == "residual":
+            ref_q, _ = reference_state(self.clip, data.time + self.config.policy_dt)
+            base = ref_q[self._qposadr]
+            target = base + action
+        elif mode in ("absolute", "torque"):
+            target = action
+        else:
+            raise ValueError(f"unknown action_mode {mode!r}")
+        lo = self.model.jnt_range[:, 0]
+        hi = self.model.jnt_range[:, 1]
+        # actuator i drives joint i+1 (joint 0 is the free root)
+        return jnp.clip(target, lo[1:], hi[1:])
+
+    def _torque_fn(self, target):
+        """qfrc callback evaluated inside each physics substep."""
+
+        def qfrc(model, data):
+            name = self.config.controller
+            if name == "standard_pd":
+                tau = ctrl.standard_pd(model, data, target, self.gains)
+            elif name == "inverse_dynamics_pd":
+                tau = ctrl.inverse_dynamics_pd(model, data, target, self.gains)
+            else:
+                tau = ctrl.stable_pd(model, data, target, self.gains)
+            tau = ctrl.clamp_torque(model, tau)
+            if self.actuator_mask is not None:
+                tau = ctrl.masked_torque(tau, self.actuator_mask)
+            return ctrl.torque_to_qfrc(model, tau)
+
+        return qfrc
+
+    def _reward(self, data, fall):
+        c = self.config
+        qpos_ref, qvel_ref = reference_state(self.clip, data.time)
+        ee_ref, com_ref = reference_aux(self.clip, data.time)
+
+        joint_err = task.joint_pose_errors(self.model, data.qpos, qpos_ref)
+        _, root_rot_err = task.root_pose_error(data.qpos, qpos_ref)
+        pose_sq = jnp.sum(joint_err**2) + root_rot_err**2
+        r_pose = jnp.exp(-c.s_pose * pose_sq)
+
+        vel_sq = jnp.sum((data.qvel - qvel_ref) ** 2)
+        r_vel = jnp.exp(-c.s_vel * vel_sq)
+
+        ee = task.ee_positions(self.model, data)
+        r_ee = jnp.exp(-c.s_ee * jnp.sum((ee - ee_ref) ** 2) / len(task.EE_SPECS))
+
+        com = task.center_of_mass(self.model, data)
+        r_com = jnp.exp(-c.s_com * jnp.sum((com - com_ref) ** 2))
+
+        reward = c.w_pose * r_pose + c.w_vel * r_vel + c.w_ee * r_ee + c.w_com * r_com
+        reward = jnp.where(fall, 0.0, reward)
+        terms = {
+            "reward_pose": r_pose,
+            "reward_vel": r_vel,
+            "reward_ee": r_ee,
+            "reward_com": r_com,
+            "pose_error": jnp.mean(joint_err),
+        }
+        return reward, terms
+
+    # -- protocol ---------------------------------------------------------
+    def reset(self, rng: jnp.ndarray) -> State:
+        rng, key = jax.random.split(rng)
+        if self.config.reference_state_init:
+            hi = self.clip.cycle_time if self.clip.loop else 0.9 * self.clip.cycle_time
+            t0 = jax.random.uniform(key, (), minval=0.0, maxval=hi)
+        else:
+            t0 = jnp.zeros(())
+        qpos, qvel = reference_state(self.clip, t0)
+        data = make_data(self.model, qpos=qpos, qvel=qvel).replace(
+            time=jnp.asarray(t0, jnp.float32)
+        )
+        data = run_kinematics(self.model, data)
+        reward, terms = self._reward(data, jnp.asarray(False))
+        metrics = {
+            "step_index": reference_frame_index(self.clip, t0).astype(jnp.float32),
+            "fall": jnp.zeros(()),
+            **{k: v for k, v in terms.items()},
+        }
+        return State(
+            pipeline=data,
+            obs=self._obs(data),
+            reward=jnp.zeros(()),
+            done=jnp.zeros(()),
+            metrics=metrics,
+            info={"rng": rng, "episode_start": t0},
+        )
+
+    def step(self, state: State, action: jnp.ndarray) -> State:
+        data = state.pipeline
+        if self.config.action_mode == "torque":
+            tau = ctrl.clamp_torque(self.model, action)
+
+            def qfrc_fn(model, d, tau=tau):
+                return ctrl.torque_to_qfrc(model, tau)
+
+        else:
+            target = self._target(data, action)
+            qfrc_fn = self._torque_fn(target)
+
+        n = self.config.n_substeps
+        if self.config.pd_per_substep:
+            data = step_n(self.model, data, n, qfrc_fn=qfrc_fn)
+        else:
+            # Reference semantics: one torque computed per policy step, held.
+            d0 = forward_smooth(self.model, data)
+            held = qfrc_fn(self.model, d0)
+            data = step_n(self.model, data, n, qfrc_fn=lambda m, d: held)
+        data = run_kinematics(self.model, data)
+
+        fall = task.detect_fall(self.model, data, self._fall_mask)
+        reward, terms = self._reward(data, fall)
+
+        t_in_episode = data.time - state.info["episode_start"]
+        done = jnp.zeros(())
+        if self.config.early_termination:
+            done = jnp.maximum(done, fall.astype(jnp.float32))
+        done = jnp.maximum(
+            done, (t_in_episode >= self.config.max_episode_time).astype(jnp.float32)
+        )
+        if not self.clip.loop:
+            done = jnp.maximum(
+                done, (data.time >= self.clip.cycle_time).astype(jnp.float32)
+            )
+        metrics = {
+            "step_index": reference_frame_index(self.clip, data.time).astype(jnp.float32),
+            "fall": fall.astype(jnp.float32),
+            **terms,
+        }
+        return state.replace(
+            pipeline=data, obs=self._obs(data), reward=reward, done=done,
+            metrics=metrics,
+        )

@@ -38,6 +38,10 @@ class MotionClip:
     cycle_offset: jnp.ndarray  # (3,) root displacement per cycle (z zeroed)
     loop: bool = struct.field(pytree_node=False)
     num_frames: int = struct.field(pytree_node=False)
+    # Optional FK-derived reference quantities (filled by
+    # pbrl_tpu.envs.humanoid_task.augment_clip for the imitation reward).
+    ee_pos: Optional[jnp.ndarray] = None   # (T, n_ee, 3) world end-effectors
+    com: Optional[jnp.ndarray] = None      # (T, 3) world centre of mass
     name: str = struct.field(pytree_node=False, default="clip")
 
 
@@ -114,6 +118,28 @@ def reference_state(clip: MotionClip, t, interpolate: bool = True):
         qvel = clip.qvel[i0] + alpha * (clip.qvel[i1] - clip.qvel[i0])
     qpos = qpos.at[:3].add(cycle * clip.cycle_offset)
     return qpos, qvel
+
+
+def reference_aux(clip: MotionClip, t):
+    """Interpolated (ee_pos, com) reference quantities at time ``t``.
+
+    Requires an augmented clip (``ee_pos``/``com`` filled). World positions
+    get the same horizontal cycle-offset treatment as the root in
+    :func:`reference_state`.
+    """
+    if clip.ee_pos is None or clip.com is None:
+        raise ValueError("clip not augmented: call envs.humanoid_task.augment_clip")
+    f, cycle = _frame_and_cycle(clip, t)
+    T = clip.num_frames
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, T - 1)
+    alpha = f - i0.astype(f.dtype)
+    i1 = jnp.where(clip.loop, (i0 + 1) % T, jnp.minimum(i0 + 1, T - 1))
+    wrapped = (i1 < i0).astype(clip.com.dtype)
+    shift = wrapped * clip.cycle_offset
+    ee = clip.ee_pos[i0] + alpha * (clip.ee_pos[i1] + shift - clip.ee_pos[i0])
+    com = clip.com[i0] + alpha * (clip.com[i1] + shift - clip.com[i0])
+    total = cycle * clip.cycle_offset
+    return ee + total, com + total
 
 
 def reference_frame_index(clip: MotionClip, t) -> jnp.ndarray:

@@ -1,0 +1,55 @@
+"""Orbax checkpointing of training state.
+
+The reference imports ``brax.io.model`` in every env module signalling
+intent but never persists anything (SURVEY.md §5). Here: params, optimizer
+state, observation statistics and the step counter round-trip through Orbax;
+env states are deliberately excluded (episodes restart on resume — RSI makes
+that cheap).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+def save(directory: str, train_state, step: int) -> None:
+    """Persist the learner slice of a TrainState."""
+    payload = {
+        "params": train_state.params,
+        "opt_state": train_state.opt_state,
+        "obs_stats": train_state.obs_stats,
+        "env_steps": train_state.env_steps,
+    }
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore(directory: str, step: Optional[int] = None) -> Any:
+    """Load the latest (or given) checkpoint payload as a pytree."""
+    mgr = _manager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    out = mgr.restore(step)
+    mgr.close()
+    return out
+
+
+def latest_step(directory: str) -> Optional[int]:
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
