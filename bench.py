@@ -1,0 +1,73 @@
+"""Benchmark: humanoid mimic env throughput (env-steps/sec/chip at 4096 envs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the BASELINE.json north-star rate
+(>=1M env-steps/sec on a v5e-8 => 125k/sec/chip), measured on however many
+chips are actually attached and normalised per chip.
+
+An env-step is one policy step of the DeepMimic walk-imitation environment:
+Stable-PD control re-evaluated each of the 8 physics substeps (500 Hz
+physics / ~60 Hz policy — the reference's variant-1 rates,
+``agent_env_template.py:60-68``), contacts, constraint solve, integration,
+imitation reward, termination — all on device.
+"""
+
+import json
+import os
+import sys
+import time
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+BASELINE_PER_CHIP = 125_000.0  # 1M env-steps/s on 8 chips
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model
+
+    n_chips = max(1, len(jax.devices()))
+    model = humanoid_model()
+    env = MimicEnv(model, load_clip("walk"), EnvConfig())
+
+    rng = jax.random.PRNGKey(0)
+    states = jax.vmap(env.reset)(jax.random.split(rng, NUM_ENVS))
+    # A fixed mid-range action (PD target = zero pose) keeps the bench
+    # deterministic; control flow is state-independent so this is
+    # representative of any policy's step cost.
+    actions = jnp.zeros((NUM_ENVS, env.action_size))
+
+    @jax.jit
+    def rollout(states):
+        def body(s, _):
+            s = jax.vmap(env.step)(s, actions)
+            return s, ()
+
+        s, _ = jax.lax.scan(body, states, None, length=ITERS)
+        return s
+
+    # Compile + warm up.
+    out = rollout(states)
+    jax.block_until_ready(out.obs)
+
+    t0 = time.perf_counter()
+    out = rollout(out)
+    jax.block_until_ready(out.obs)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = NUM_ENVS * ITERS / dt
+    per_chip = steps_per_sec / n_chips
+    print(json.dumps({
+        "metric": "humanoid_mimic_env_steps_per_sec_per_chip_4096envs",
+        "value": round(per_chip, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
