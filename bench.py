@@ -51,8 +51,11 @@ def main():
         return s
 
     # Compile + warm up.
+    t_c = time.perf_counter()
     out = rollout(states)
     jax.block_until_ready(out.obs)
+    print(f"[bench] compile+first run: {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     out = rollout(out)

@@ -1,0 +1,175 @@
+"""``pbrl`` command-line interface: train / replay / eval / bench / info.
+
+Realises the reference's empty ``main.py``/``visualizer.py`` stubs
+(SURVEY.md §2: both 0 bytes) as an actual CLI over the framework.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_clip_arg(p):
+    p.add_argument("--clip", default="walk",
+                   help="bundled clip name (walk, backflip, ...) or a file path")
+
+
+def cmd_info(args):
+    import jax
+
+    from pbrl_tpu import __version__
+    from pbrl_tpu.envs import registered_environments
+    from pbrl_tpu.mocap import bundled_clip_names, load_clip
+    from pbrl_tpu.model import humanoid_model
+
+    m = humanoid_model()
+    print(f"pbrl_tpu {__version__}")
+    print(f"devices: {jax.devices()}")
+    print(f"humanoid: nq={m.nq} nv={m.nv} nu={m.nu} bodies={m.nbody} geoms={m.ngeom}")
+    print(f"environments: {', '.join(registered_environments())}")
+    print("clips:")
+    for name in bundled_clip_names():
+        c = load_clip(name)
+        loop = "wrap" if c.loop else "none"
+        print(f"  {name:16s} {c.num_frames:4d} frames  "
+              f"{float(c.cycle_time):5.2f}s  loop={loop}")
+    return 0
+
+
+def cmd_replay(args):
+    import jax
+    import numpy as np
+
+    from pbrl_tpu.envs import ReplayEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model, humanoid_spec
+    from pbrl_tpu.viz import dump_trajectory, render_video, save_video
+
+    clip = load_clip(args.clip)
+    env = ReplayEnv(humanoid_model(), clip)
+    steps = args.steps or int(float(clip.cycle_time) / env.config.policy_dt) + 1
+    states = jax.jit(lambda: env.rollout(steps))()
+    qpos = np.asarray(states.pipeline.qpos)
+    fps = 1.0 / env.config.policy_dt
+    dump_trajectory(args.out, qpos, fps)
+    print(f"replayed {args.clip}: {steps} frames -> {args.out}")
+    if args.video:
+        frames = render_video(humanoid_spec(), qpos, camera=None)
+        out = save_video(args.video, frames, fps=fps)
+        print(f"video -> {out}")
+    return 0
+
+
+def cmd_train(args):
+    import jax
+
+    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model
+    from pbrl_tpu.train import TrainConfig, train
+
+    env_cfg = EnvConfig(controller=args.controller)
+    env = MimicEnv(humanoid_model(), load_clip(args.clip), env_cfg)
+    cfg = TrainConfig(
+        num_envs=args.num_envs,
+        unroll_length=args.unroll_length,
+        total_env_steps=args.total_steps,
+        learning_rate=args.lr,
+        seed=args.seed,
+    )
+
+    def progress(it, metrics):
+        print(json.dumps({"iteration": it, **{k: round(v, 5) if isinstance(v, float)
+                                              else v for k, v in metrics.items()}}))
+
+    params, stats, history = train(
+        env, cfg, progress_fn=progress if args.verbose else None,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    final = history[-1] if history else {}
+    print(json.dumps({"final": final}))
+    return 0
+
+
+def cmd_eval(args):
+    import jax
+
+    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model
+    from pbrl_tpu.train import TrainConfig, checkpoint, make_train_functions
+
+    env = MimicEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
+    cfg = TrainConfig()
+    _, _, evaluate = make_train_functions(env, cfg)
+    payload = checkpoint.restore(args.checkpoint_dir)
+    metrics = evaluate(payload["params"],
+                       jax.tree.map(lambda x: x, payload["obs_stats"]),
+                       jax.random.PRNGKey(args.seed),
+                       num_envs=args.num_envs, num_steps=args.steps)
+    print(json.dumps({k: float(v) for k, v in metrics.items()}))
+    return 0
+
+
+def cmd_bench(args):
+    import runpy
+    import os
+
+    os.environ.setdefault("BENCH_NUM_ENVS", str(args.num_envs))
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="pbrl",
+                                description="TPU-native physics-based RL framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("info", help="print devices, model dims, clips")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("replay", help="kinematic clip playback -> trajectory/video")
+    _add_clip_arg(sp)
+    sp.add_argument("--steps", type=int, default=0, help="frames (default: one cycle)")
+    sp.add_argument("--out", default="replay.npz")
+    sp.add_argument("--video", default="", help="optional mp4 output path")
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("train", help="PPO imitation training")
+    _add_clip_arg(sp)
+    sp.add_argument("--num-envs", type=int, default=2048)
+    sp.add_argument("--unroll-length", type=int, default=16)
+    sp.add_argument("--total-steps", type=int, default=10_000_000)
+    sp.add_argument("--lr", type=float, default=3e-4)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--controller", default="stable_pd",
+                    choices=["stable_pd", "standard_pd", "inverse_dynamics_pd"])
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--quiet", dest="verbose", action="store_false")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="evaluate a checkpoint")
+    _add_clip_arg(sp)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--num-envs", type=int, default=128)
+    sp.add_argument("--steps", type=int, default=256)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    sp.add_argument("--num-envs", type=int, default=4096)
+    sp.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Trajectory dump + offline rendering via the host MuJoCo renderer.
+
+Realises the reference's empty ``visualizer.py`` stub: simulation produces a
+device-side qpos trajectory; rendering happens host-side only, by exporting
+our compiled model back to MJCF (``pbrl_tpu.model.mjcf.to_mjcf``) and
+driving ``mujoco.Renderer`` over the frames — the same offscreen path the
+reference notebooks used (``testing_pd_mjx.ipynb`` cells 2/8), but decoupled
+from the hot loop (SURVEY.md §5: viz never runs on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def dump_trajectory(path: str, qpos: np.ndarray, fps: float, *, qvel=None,
+                    metrics: Optional[dict] = None) -> None:
+    """Save a (T, nq) trajectory (+optional qvel/metrics) as .npz."""
+    payload = {"qpos": np.asarray(qpos), "fps": np.asarray(fps)}
+    if qvel is not None:
+        payload["qvel"] = np.asarray(qvel)
+    for k, v in (metrics or {}).items():
+        payload[f"metric_{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **payload)
+
+
+def load_trajectory(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def render_video(spec_or_model, qpos: np.ndarray, *, width=640, height=480,
+                 camera: Optional[str] = None) -> np.ndarray:
+    """(T, H, W, 3) uint8 frames of a qpos trajectory, rendered by host
+    MuJoCo. Accepts a ModelSpec (preferred) or a compiled Model's spec."""
+    import mujoco
+
+    from pbrl_tpu.model.mjcf import to_mjcf
+    from pbrl_tpu.model.spec import ModelSpec
+
+    if not isinstance(spec_or_model, ModelSpec):
+        raise TypeError("render_video needs the ModelSpec (e.g. humanoid_spec())")
+    mj = mujoco.MjModel.from_xml_string(to_mjcf(spec_or_model))
+    data = mujoco.MjData(mj)
+    renderer = mujoco.Renderer(mj, height=height, width=width)
+    frames = []
+    qpos = np.asarray(qpos)
+    for q in qpos:
+        data.qpos[: mj.nq] = q
+        mujoco.mj_forward(mj, data)
+        if camera:
+            renderer.update_scene(data, camera=camera)
+        else:
+            renderer.update_scene(data)
+        frames.append(renderer.render().copy())
+    renderer.close()
+    return np.stack(frames)
+
+
+def save_video(path: str, frames: np.ndarray, fps: float = 30.0) -> str:
+    """Write frames to an mp4 (mediapy if available, else imageio, else a
+    .npz fallback so the data is never lost)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        import mediapy
+
+        mediapy.write_video(path, frames, fps=fps)
+        return path
+    except Exception:
+        pass
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        alt = os.path.splitext(path)[0] + "_frames.npz"
+        np.savez_compressed(alt, frames=frames, fps=fps)
+        return alt
