@@ -145,8 +145,9 @@ def build_parser():
     sp.add_argument("--total-steps", type=int, default=10_000_000)
     sp.add_argument("--lr", type=float, default=3e-4)
     sp.add_argument("--seed", type=int, default=0)
-    sp.add_argument("--controller", default="stable_pd",
-                    choices=["stable_pd", "standard_pd", "inverse_dynamics_pd"])
+    sp.add_argument("--controller", default="implicit_pd",
+                    choices=["implicit_pd", "stable_pd", "standard_pd",
+                             "inverse_dynamics_pd"])
     sp.add_argument("--checkpoint-dir", default=None)
     sp.add_argument("--quiet", dest="verbose", action="store_false")
     sp.set_defaults(fn=cmd_train)

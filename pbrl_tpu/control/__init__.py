@@ -3,6 +3,7 @@
 from pbrl_tpu.control.pd import (  # noqa: F401
     Gains,
     clamp_torque,
+    implicit_pd,
     inverse_dynamics_pd,
     masked_torque,
     stable_pd,

@@ -100,13 +100,53 @@ def stable_pd(
     )
     m_impl = data.qM + dt * jnp.diag(kd_full)
     m_impl = 0.5 * (m_impl + m_impl.T) + reg * jnp.eye(model.nv, dtype=m_impl.dtype)
-    factor = jax.scipy.linalg.cho_factor(m_impl)
-    qacc = jax.scipy.linalg.cho_solve(factor, rhs)
+    from pbrl_tpu.ops.linalg import solve_spd
+
+    qacc = solve_spd(m_impl, rhs)
 
     qd_next = qd + dt * qacc[dofadr]
     if target_vel_next is not None:
         qd_next = qd_next - target_vel_next
     return -gains.kp * e[dofadr] - gains.kd * qd_next
+
+
+def implicit_pd(
+    model: Model,
+    data: Data,
+    target_next: jnp.ndarray,
+    gains: Gains,
+    *,
+    target_vel_next=None,
+    clamp: bool = True,
+):
+    """Stable PD fused into the integrator's implicit solve (zero extra cost).
+
+    Mathematically the same control law as :func:`stable_pd` — substituting
+    tau = -kp e - kd (qd + dt qacc) into ``M qacc = f + tau`` gives
+
+        (M + dt (D + KD)) qacc = f - kp e - kd qd
+
+    i.e. the engine's own implicit-damping Euler solve with KD added to the
+    diagonal. So instead of a second per-substep Cholesky (the standalone
+    Stable PD's (M + dt KD) factorisation, reference ``pds_controllers_
+    agents.py:99-132``), the explicit part rides ``qfrc_applied`` and kd
+    rides ``Data.imp_damping``. One factorisation per substep total — this
+    is the production controller; the standalone functions exist for parity
+    and for host-side experiments.
+
+    ``clamp`` clips the explicit part to the gear-derived torque envelope
+    (the implicit -kd dt qacc correction is unclamped by construction).
+    """
+    dt = model.option.timestep
+    q, qd, dofadr = _actuated(model, data)
+    e = q + dt * qd - target_next
+    qd_err = qd if target_vel_next is None else qd - target_vel_next
+    tau = -gains.kp * e - gains.kd * qd_err
+    if clamp:
+        tau = clamp_torque(model, tau)
+    qfrc = jnp.zeros(model.nv, dtype=data.qvel.dtype).at[dofadr].set(tau)
+    imp = jnp.zeros(model.nv, dtype=data.qvel.dtype).at[dofadr].set(gains.kd)
+    return data.replace(qfrc_applied=qfrc, imp_damping=imp)
 
 
 def clamp_torque(model: Model, tau: jnp.ndarray) -> jnp.ndarray:

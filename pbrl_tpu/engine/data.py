@@ -49,6 +49,9 @@ class Data:
     time: jnp.ndarray          # ()
     ctrl: jnp.ndarray          # (nu,)
     qfrc_applied: jnp.ndarray  # (nv,) user-injected generalized force
+    imp_damping: jnp.ndarray   # (nv,) extra implicit damping folded into the
+                               # integrator's (M + h*diag(.)) solve; used by
+                               # implicit/Stable PD controllers
 
     # --- kinematics cache ---
     origin: jnp.ndarray        # (3,) reference point for all Plücker/spatial
@@ -102,6 +105,7 @@ def make_data(model: Model, qpos=None, qvel=None) -> Data:
         time=jnp.zeros(()),
         ctrl=jnp.zeros(model.nu),
         qfrc_applied=jnp.zeros(nv),
+        imp_damping=jnp.zeros(nv),
         origin=jnp.zeros(3),
         xpos=jnp.zeros((nb, 3)),
         xquat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (nb, 1)),

@@ -53,12 +53,16 @@ def fwd_acceleration(model: Model, data: Data) -> Data:
     rhs = qfrc_smooth + data.qfrc_constraint
     # Implicit damping: fold h*D into the mass matrix before the solve. The
     # explicit -D*qvel is already in qfrc_passive; together they realise
-    # M qacc = f - D qvel_{t+1} (MuJoCo Euler default).
-    m_impl = data.qM + h * jnp.diag(model.dof_damping)
-    # Dense SPD solve, nv x nv (34x34 for the humanoid). Batched under vmap —
-    # XLA lowers to a batched Cholesky across the env axis.
-    factor = jax.scipy.linalg.cho_factor(m_impl)
-    qacc = jax.scipy.linalg.cho_solve(factor, rhs)
+    # M qacc = f - D qvel_{t+1} (MuJoCo Euler default). ``imp_damping``
+    # carries extra implicit diagonal terms injected by controllers
+    # (implicit/Stable PD's kd, see control/pd.py:implicit_pd).
+    m_impl = data.qM + h * jnp.diag(model.dof_damping + data.imp_damping)
+    # Dense SPD solve, nv x nv (34x34 for the humanoid), via the unrolled
+    # TPU-shaped Cholesky (ops/linalg.py) — XLA's generic blocked Cholesky
+    # is >10x slower at this size/batch.
+    from pbrl_tpu.ops.linalg import solve_spd
+
+    qacc = solve_spd(m_impl, rhs)
     return data.replace(qacc=qacc)
 
 
@@ -75,18 +79,20 @@ def forward_smooth(model: Model, data: Data) -> Data:
 def forward(model: Model, data: Data, qfrc_fn=None) -> Data:
     """Full forward dynamics: fills every derived field including qacc.
 
-    ``qfrc_fn(model, data) -> (nv,)`` — optional in-loop controller hook,
-    invoked after the inertial quantities (qM, qfrc_bias, cvel) are cached
-    and before the constraint solve; its return value replaces
-    ``qfrc_applied`` for this step. This is how PD control runs *inside* the
-    physics substep loop (the reference could only apply torque once per
-    policy step from outside, ``agents_env/agent_mimic.py:220-228``).
+    ``qfrc_fn(model, data)`` — optional in-loop controller hook, invoked
+    after the inertial quantities (qM, qfrc_bias, cvel) are cached and
+    before the constraint solve. It may return a ``(nv,)`` force (replaces
+    ``qfrc_applied``) or a whole ``Data`` (e.g. implicit PD also sets
+    ``imp_damping``). This is how PD control runs *inside* the physics
+    substep loop (the reference could only apply torque once per policy
+    step from outside, ``agents_env/agent_mimic.py:220-228``).
     """
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
     data = dynamics.actuation(model, data)
     if qfrc_fn is not None:
-        data = data.replace(qfrc_applied=qfrc_fn(model, data))
+        out = qfrc_fn(model, data)
+        data = out if isinstance(out, Data) else data.replace(qfrc_applied=out)
     data = solver.constraint_forces(model, data)
     data = fwd_acceleration(model, data)
     return data

@@ -74,7 +74,11 @@ class EnvConfig:
     #             (the reference's ``step_custom_target_and_outside``,
     #             ``agent_mimic.py:239-271``).
     action_mode: str = "absolute"
-    controller: str = "stable_pd"       # stable_pd | standard_pd | inverse_dynamics_pd
+    # implicit_pd = Stable PD fused into the integrator solve (production
+    # default; same control law, one Cholesky per substep). stable_pd /
+    # standard_pd / inverse_dynamics_pd mirror the reference's three
+    # controller families (``pds_controllers_agents.py``).
+    controller: str = "implicit_pd"
     pd_per_substep: bool = True
 
     @property

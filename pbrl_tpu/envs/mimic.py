@@ -41,11 +41,7 @@ from pbrl_tpu.mocap.clip import (
 )
 from pbrl_tpu.model.spec import Model
 
-_CONTROLLERS = {
-    "standard_pd": "standard",
-    "inverse_dynamics_pd": "inverse",
-    "stable_pd": "stable",
-}
+_CONTROLLERS = ("implicit_pd", "stable_pd", "standard_pd", "inverse_dynamics_pd")
 
 
 class MimicEnv(Env):
@@ -122,10 +118,16 @@ class MimicEnv(Env):
 
         def qfrc(model, data):
             name = self.config.controller
+            if name == "implicit_pd" and self.actuator_mask is None:
+                # Fused Stable PD: explicit part + kd on the integrator
+                # diagonal; no second Cholesky (see control/pd.py).
+                return ctrl.implicit_pd(model, data, target, self.gains)
             if name == "standard_pd":
                 tau = ctrl.standard_pd(model, data, target, self.gains)
             elif name == "inverse_dynamics_pd":
                 tau = ctrl.inverse_dynamics_pd(model, data, target, self.gains)
+            elif name == "implicit_pd":  # masked: fall back to explicit SPD
+                tau = ctrl.stable_pd(model, data, target, self.gains)
             else:
                 tau = ctrl.stable_pd(model, data, target, self.gains)
             tau = ctrl.clamp_torque(model, tau)
