@@ -156,12 +156,25 @@ def parse_deepmimic(path_or_json: str, *, velocity_mode: str = "euler_rate") -> 
     if path_or_json.lstrip().startswith("{"):
         data = json.loads(path_or_json)
         source = "<string>"
+        frames = np.asarray(data["Frames"], np.float64)
+        loop = str(data.get("Loop", "none")).strip('"')
     else:
-        with open(path_or_json) as f:
-            data = json.load(f)
         source = path_or_json
-    frames = np.asarray(data["Frames"], np.float64)
-    loop = str(data.get("Loop", "none")).strip('"')
+        frames = loop = None
+        # Native C++ loader (threaded single-pass parser, native/pbrl_io.cpp)
+        # with transparent fallback to the stdlib json module.
+        from pbrl_tpu import io_native
+
+        if io_native.available():
+            try:
+                frames, loop = io_native.load_frames(path_or_json)
+            except RuntimeError:
+                frames = None
+        if frames is None:
+            with open(path_or_json) as f:
+                data = json.load(f)
+            frames = np.asarray(data["Frames"], np.float64)
+            loop = str(data.get("Loop", "none")).strip('"')
 
     T = frames.shape[0]
     durations = frames[:, 0]
