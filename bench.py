@@ -19,7 +19,7 @@ import sys
 import time
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-ITERS = int(os.environ.get("BENCH_ITERS", 20))
+ITERS = int(os.environ.get("BENCH_ITERS", 100))
 BASELINE_PER_CHIP = 125_000.0  # 1M env-steps/s on 8 chips
 
 
@@ -27,16 +27,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
     from pbrl_tpu.mocap import load_clip
     from pbrl_tpu.model import humanoid_model
 
     n_chips = max(1, len(jax.devices()))
     model = humanoid_model()
-    env = MimicEnv(model, load_clip("walk"), EnvConfig())
+    # The production batched env: whole physics step (8 Stable-PD substeps,
+    # contacts, tree solve, integration) fused into one Pallas kernel.
+    env = MimicVecEnv(model, load_clip("walk"), EnvConfig())
 
     rng = jax.random.PRNGKey(0)
-    states = jax.jit(jax.vmap(env.reset))(jax.random.split(rng, NUM_ENVS))
+    states = jax.jit(env.reset)(jax.random.split(rng, NUM_ENVS))
     # A fixed mid-range action (PD target = zero pose) keeps the bench
     # deterministic; control flow is state-independent so this is
     # representative of any policy's step cost.
@@ -48,7 +50,7 @@ def main():
     @functools.partial(jax.jit, donate_argnums=0)
     def rollout(states):
         def body(s, _):
-            s = jax.vmap(env.step)(s, actions)
+            s = env.step(s, actions)
             return s, ()
 
         s, _ = jax.lax.scan(body, states, None, length=ITERS)

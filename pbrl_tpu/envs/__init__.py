@@ -12,6 +12,7 @@ from pbrl_tpu.envs.base import (  # noqa: F401
 )
 from pbrl_tpu.envs.replay import ReplayEnv  # noqa: F401
 from pbrl_tpu.envs.mimic import MimicEnv  # noqa: F401
+from pbrl_tpu.envs.vec import MimicVecEnv, VecState  # noqa: F401
 from pbrl_tpu.envs import humanoid_task  # noqa: F401
 
 

@@ -95,7 +95,12 @@ def compute_gae(rewards, dones, values, bootstrap_value, gamma, lam):
 
 
 def make_train_functions(env: Env, config: TrainConfig):
-    """Build (init_fn, train_step_fn, eval_fn) — pure, jittable, SPMD-ready."""
+    """Build (init_fn, train_step_fn, eval_fn) — pure, jittable, SPMD-ready.
+
+    Accepts either a per-env ``Env`` (vmapped here) or a batch-first
+    vectorized env (``is_vectorized`` attribute, e.g. MimicVecEnv over the
+    fused physics kernel).
+    """
     _, policy, value = networks.init_params(
         jax.random.PRNGKey(0), env.observation_size, env.action_size, config.hidden
     )
@@ -103,6 +108,31 @@ def make_train_functions(env: Env, config: TrainConfig):
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.learning_rate),
     )
+
+    vectorized = getattr(env, "is_vectorized", False)
+
+    def reset_batch(keys):
+        if vectorized:
+            return env.reset(keys)
+        return jax.vmap(env.reset)(keys)
+
+    def step_batch(state, action):
+        if vectorized:
+            return env.step(state, action)
+        return jax.vmap(env.step)(state, action)
+
+    def auto_reset(state, nstate, keys):
+        if vectorized:
+            return env.auto_reset(nstate, keys)
+        B = nstate.done.shape[0]
+        reset_state = jax.vmap(env.reset)(keys)
+        done = nstate.done
+        sel = lambda a, b: jnp.where(
+            done.reshape((B,) + (1,) * (a.ndim - 1)).astype(bool), a, b
+        )
+        merged = jax.tree.map(sel, reset_state, nstate)
+        return merged.replace(metrics=nstate.metrics, reward=nstate.reward,
+                              done=nstate.done)
 
     def norm_obs(stats, obs):
         if config.normalize_obs:
@@ -120,18 +150,9 @@ def make_train_functions(env: Env, config: TrainConfig):
             lp = networks.log_prob(mean, log_std, action)
             val = value.apply(ts.params["value"], obs_n)
 
-            nstate = jax.vmap(env.step)(env_state, action)
-            # Auto-reset finished episodes.
+            nstate = step_batch(env_state, action)
             B = nstate.done.shape[0]
-            reset_state = jax.vmap(env.reset)(jax.random.split(k_reset, B))
-            done = nstate.done
-            sel = lambda a, b: jnp.where(
-                done.reshape((B,) + (1,) * (a.ndim - 1)).astype(bool), a, b
-            )
-            merged = jax.tree.map(sel, reset_state, nstate)
-            # Keep the metrics of the *finished* step (not the reset state).
-            merged = merged.replace(metrics=nstate.metrics, reward=nstate.reward,
-                                    done=nstate.done)
+            merged = auto_reset(env_state, nstate, jax.random.split(k_reset, B))
             t = Transition(obs=env_state.obs, action=action, log_prob=lp,
                            reward=nstate.reward * config.reward_scale,
                            done=nstate.done, value=val)
@@ -237,7 +258,7 @@ def make_train_functions(env: Env, config: TrainConfig):
         params, _, _ = networks.init_params(
             k_net, env.observation_size, env.action_size, config.hidden
         )
-        env_state = jax.vmap(env.reset)(jax.random.split(k_env, config.num_envs))
+        env_state = reset_batch(jax.random.split(k_env, config.num_envs))
         return TrainState(
             params=params,
             opt_state=tx.init(params),
@@ -250,12 +271,12 @@ def make_train_functions(env: Env, config: TrainConfig):
     # ---------------- evaluation ----------------------------------------
     def evaluate(params, obs_stats, rng, num_envs: int = 128, num_steps: int = 256):
         """Deterministic-policy rollout; returns mean reward and ep length."""
-        env_state = jax.vmap(env.reset)(jax.random.split(rng, num_envs))
+        env_state = reset_batch(jax.random.split(rng, num_envs))
 
         def one(carry, _):
             env_state = carry
             mean, _ = policy.apply(params["policy"], norm_obs(obs_stats, env_state.obs))
-            nstate = jax.vmap(env.step)(env_state, mean)
+            nstate = step_batch(env_state, mean)
             return nstate, (nstate.reward, nstate.done,
                             nstate.metrics.get("pose_error", jnp.zeros_like(nstate.reward)))
 
