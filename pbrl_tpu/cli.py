@@ -65,13 +65,14 @@ def cmd_replay(args):
 def cmd_train(args):
     import jax
 
-    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
     from pbrl_tpu.mocap import load_clip
     from pbrl_tpu.model import humanoid_model
     from pbrl_tpu.train import TrainConfig, train
 
     env_cfg = EnvConfig(controller=args.controller)
-    env = MimicEnv(humanoid_model(), load_clip(args.clip), env_cfg)
+    env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
+                      backend=args.backend)
     cfg = TrainConfig(
         num_envs=args.num_envs,
         unroll_length=args.unroll_length,
@@ -96,17 +97,19 @@ def cmd_train(args):
 def cmd_eval(args):
     import jax
 
-    from pbrl_tpu.envs import EnvConfig, MimicEnv
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
     from pbrl_tpu.mocap import load_clip
     from pbrl_tpu.model import humanoid_model
     from pbrl_tpu.train import TrainConfig, checkpoint, make_train_functions
 
-    env = MimicEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
+    env = MimicVecEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
     cfg = TrainConfig()
     _, _, evaluate = make_train_functions(env, cfg)
     payload = checkpoint.restore(args.checkpoint_dir)
-    metrics = evaluate(payload["params"],
-                       jax.tree.map(lambda x: x, payload["obs_stats"]),
+    from pbrl_tpu.train.running_stats import RunningStats
+
+    stats = RunningStats(**payload["obs_stats"])  # orbax restores a dict
+    metrics = evaluate(payload["params"], stats,
                        jax.random.PRNGKey(args.seed),
                        num_envs=args.num_envs, num_steps=args.steps)
     print(json.dumps({k: float(v) for k, v in metrics.items()}))
@@ -148,6 +151,9 @@ def build_parser():
     sp.add_argument("--controller", default="implicit_pd",
                     choices=["implicit_pd", "stable_pd", "standard_pd",
                              "inverse_dynamics_pd"])
+    sp.add_argument("--backend", default="auto",
+                    choices=["auto", "kernel", "xla"],
+                    help="physics backend: fused Pallas kernel (TPU) or XLA")
     sp.add_argument("--checkpoint-dir", default=None)
     sp.add_argument("--quiet", dest="verbose", action="store_false")
     sp.set_defaults(fn=cmd_train)

@@ -79,6 +79,10 @@ class MimicVecEnv:
 
         mode = "torque" if config.action_mode == "torque" else "pd"
         if backend == "kernel":
+            if config.controller not in ("implicit_pd", "stable_pd"):
+                raise ValueError(
+                    f"kernel backend implements implicit/Stable PD; use "
+                    f"backend='xla' for {config.controller!r}")
             from pbrl_tpu.ops.mimic_kernel import build_mimic_step
 
             self._kstep, self._kspec = build_mimic_step(
@@ -185,11 +189,25 @@ class MimicVecEnv:
         n = self.config.n_substeps
         from pbrl_tpu.control import clamp_torque, implicit_pd, torque_to_qfrc
 
+        ctrl_name = self.config.controller
+
         def one(q, v, uu):
             d = make_data(m, qpos=q, qvel=v)
 
             if mode == "pd":
-                qfrc_fn = lambda mm, dd: implicit_pd(mm, dd, uu, gains)
+                if ctrl_name in ("implicit_pd", "stable_pd"):
+                    qfrc_fn = lambda mm, dd: implicit_pd(mm, dd, uu, gains)
+                else:
+                    from pbrl_tpu.control import (inverse_dynamics_pd,
+                                                  standard_pd)
+
+                    law = (standard_pd if ctrl_name == "standard_pd"
+                           else inverse_dynamics_pd)
+
+                    def qfrc_fn(mm, dd, law=law):
+                        tau = clamp_torque(mm, law(mm, dd, uu, gains))
+                        return torque_to_qfrc(mm, tau)
+
             else:
                 tau = clamp_torque(m, uu)
                 qfrc_fn = lambda mm, dd, tau=tau: torque_to_qfrc(mm, tau)
