@@ -70,7 +70,9 @@ def cmd_train(args):
     from pbrl_tpu.model import humanoid_model
     from pbrl_tpu.train import TrainConfig, train
 
-    env_cfg = EnvConfig(controller=args.controller)
+    env_cfg = EnvConfig(controller=args.controller,
+                        enforce_joint_limits=not args.no_joint_limits,
+                        action_mode=args.action_mode)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)
     cfg = TrainConfig(
@@ -116,6 +118,57 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_rollout(args):
+    """Roll a trained policy and dump the qpos trajectory (+ video)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model, humanoid_spec
+    from pbrl_tpu.train import TrainConfig, checkpoint, make_train_functions
+    from pbrl_tpu.train.networks import PolicyNetwork
+    from pbrl_tpu.train.running_stats import RunningStats, normalize
+    from pbrl_tpu.viz import dump_trajectory, render_video, save_video
+
+    env = MimicVecEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
+    payload = checkpoint.restore(args.checkpoint_dir)
+    stats = RunningStats(**payload["obs_stats"])
+    policy = PolicyNetwork(action_size=env.action_size,
+                           hidden=tuple(TrainConfig().hidden))
+    params = payload["params"]["policy"]
+
+    B = 1
+    vs = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(args.seed), B))
+
+    @jax.jit
+    def roll(vs):
+        def body(s, _):
+            mean, _ = policy.apply(params, normalize(stats, s.obs))
+            s = env.step(s, mean)
+            return s, (s.qpos[0], s.reward[0], s.done[0])
+
+        _, out = jax.lax.scan(body, vs, None, length=args.steps)
+        return out
+
+    qpos, reward, done = roll(vs)
+    qpos = np.asarray(qpos)
+    fps = 1.0 / env.config.effective_policy_dt
+    dump_trajectory(args.out, qpos, fps,
+                    metrics={"reward": np.asarray(reward),
+                             "done": np.asarray(done)})
+    alive = int(np.argmax(np.asarray(done) > 0)) or args.steps
+    print(f"rollout: {args.steps} steps, mean reward "
+          f"{float(np.asarray(reward)[:alive].mean()):.3f}, "
+          f"alive {alive} steps -> {args.out}")
+    if args.video:
+        frames = render_video(humanoid_spec(), qpos)
+        out = save_video(args.video, frames, fps=fps)
+        print(f"video -> {out}")
+    return 0
+
+
 def cmd_bench(args):
     import runpy
     import os
@@ -151,6 +204,13 @@ def build_parser():
     sp.add_argument("--controller", default="implicit_pd",
                     choices=["implicit_pd", "stable_pd", "standard_pd",
                              "inverse_dynamics_pd"])
+    sp.add_argument("--action-mode", default="absolute",
+                    choices=["absolute", "residual", "torque"],
+                    help="absolute: action = PD target; residual: action "
+                         "adds to the reference pose (imitation prior)")
+    sp.add_argument("--no-joint-limits", action="store_true",
+                    help="disable hinge limit springs + target clipping "
+                         "(needed for backflip/kick-class clips)")
     sp.add_argument("--backend", default="auto",
                     choices=["auto", "kernel", "xla"],
                     help="physics backend: fused Pallas kernel (TPU) or XLA")
@@ -165,6 +225,15 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=256)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("rollout", help="roll a trained policy -> trajectory/video")
+    _add_clip_arg(sp)
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--steps", type=int, default=300)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", default="rollout.npz")
+    sp.add_argument("--video", default="")
+    sp.set_defaults(fn=cmd_rollout)
 
     sp = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
     sp.add_argument("--num-envs", type=int, default=4096)

@@ -118,6 +118,7 @@ def implicit_pd(
     *,
     target_vel_next=None,
     clamp: bool = True,
+    clamp_scale: float = 1.0,
 ):
     """Stable PD fused into the integrator's implicit solve (zero extra cost).
 
@@ -143,21 +144,23 @@ def implicit_pd(
     qd_err = qd if target_vel_next is None else qd - target_vel_next
     tau = -gains.kp * e - gains.kd * qd_err
     if clamp:
-        tau = clamp_torque(model, tau)
+        tau = clamp_torque(model, tau, clamp_scale)
     qfrc = jnp.zeros(model.nv, dtype=data.qvel.dtype).at[dofadr].set(tau)
     imp = jnp.zeros(model.nv, dtype=data.qvel.dtype).at[dofadr].set(gains.kd)
     return data.replace(qfrc_applied=qfrc, imp_damping=imp)
 
 
-def clamp_torque(model: Model, tau: jnp.ndarray) -> jnp.ndarray:
+def clamp_torque(model: Model, tau: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     """Clamp per-actuator torque to gear-derived limits.
 
     The reference realises torque limits through motor ``gear`` x
     ``ctrlrange`` (±0.5, ``models/final_humanoid.xml:8,127-162``); the same
-    envelope applies here directly in torque units.
+    envelope applies here directly in torque units. ``scale`` widens the
+    envelope (scale=2 == DeepMimic's full-gear limits — needed for
+    high-power skills like backflip; the ±0.5 ctrlrange halves them).
     """
-    hi = model.actuator_gear * model.actuator_ctrlrange[:, 1]
-    lo = model.actuator_gear * model.actuator_ctrlrange[:, 0]
+    hi = model.actuator_gear * model.actuator_ctrlrange[:, 1] * scale
+    lo = model.actuator_gear * model.actuator_ctrlrange[:, 0] * scale
     return jnp.clip(tau, lo, hi)
 
 

@@ -80,6 +80,15 @@ class EnvConfig:
     # controller families (``pds_controllers_agents.py``).
     controller: str = "implicit_pd"
     pd_per_substep: bool = True
+    # Torque envelope = gear * ctrlrange * torque_limit_scale. The default 2.0
+    # restores DeepMimic's full-gear limits (the reference XML's ±0.5
+    # ctrlrange halves them — too weak for ballistic skills like backflip).
+    torque_limit_scale: float = 2.0
+    # Enforce hinge range limits (compliant springs) and clip PD targets to
+    # ranges. Disable for clips whose converted poses legitimately exceed the
+    # reference model's ranges (backflip, kick — DeepMimic's own skeleton has
+    # much wider limits).
+    enforce_joint_limits: bool = True
 
     @property
     def n_substeps(self) -> int:

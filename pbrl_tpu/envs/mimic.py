@@ -64,6 +64,8 @@ class MimicEnv(Env):
         model = model.replace(
             option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
         )
+        if not config.enforce_joint_limits:
+            model = model.replace(jnt_limited=tuple(False for _ in model.jnt_limited))
         self.model = model
         self.config = config
         self.clip = clip if clip.ee_pos is not None else task.augment_clip(model, clip)
@@ -108,6 +110,8 @@ class MimicEnv(Env):
             target = action
         else:
             raise ValueError(f"unknown action_mode {mode!r}")
+        if not self.config.enforce_joint_limits:
+            return target
         lo = self.model.jnt_range[:, 0]
         hi = self.model.jnt_range[:, 1]
         # actuator i drives joint i+1 (joint 0 is the free root)
@@ -121,7 +125,9 @@ class MimicEnv(Env):
             if name == "implicit_pd" and self.actuator_mask is None:
                 # Fused Stable PD: explicit part + kd on the integrator
                 # diagonal; no second Cholesky (see control/pd.py).
-                return ctrl.implicit_pd(model, data, target, self.gains)
+                return ctrl.implicit_pd(
+                    model, data, target, self.gains,
+                    clamp_scale=self.config.torque_limit_scale)
             if name == "standard_pd":
                 tau = ctrl.standard_pd(model, data, target, self.gains)
             elif name == "inverse_dynamics_pd":
@@ -130,7 +136,7 @@ class MimicEnv(Env):
                 tau = ctrl.stable_pd(model, data, target, self.gains)
             else:
                 tau = ctrl.stable_pd(model, data, target, self.gains)
-            tau = ctrl.clamp_torque(model, tau)
+            tau = ctrl.clamp_torque(model, tau, self.config.torque_limit_scale)
             if self.actuator_mask is not None:
                 tau = ctrl.masked_torque(tau, self.actuator_mask)
             return ctrl.torque_to_qfrc(model, tau)
@@ -198,7 +204,8 @@ class MimicEnv(Env):
     def step(self, state: State, action: jnp.ndarray) -> State:
         data = state.pipeline
         if self.config.action_mode == "torque":
-            tau = ctrl.clamp_torque(self.model, action)
+            tau = ctrl.clamp_torque(self.model, action,
+                                    self.config.torque_limit_scale)
 
             def qfrc_fn(model, d, tau=tau):
                 return ctrl.torque_to_qfrc(model, tau)

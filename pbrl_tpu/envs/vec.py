@@ -65,6 +65,8 @@ class MimicVecEnv:
         model = model.replace(
             option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
         )
+        if not config.enforce_joint_limits:
+            model = model.replace(jnt_limited=tuple(False for _ in model.jnt_limited))
         self.model = model
         self.config = config
         self.clip = clip if clip.ee_pos is not None else task.augment_clip(model, clip)
@@ -89,6 +91,7 @@ class MimicVecEnv:
                 model, kp=np.asarray(self.gains.kp), kd=np.asarray(self.gains.kd),
                 n_substeps=config.n_substeps, mode=mode,
                 fall_allowed_bodies=allowed,
+                torque_scale=config.torque_limit_scale,
             )
         else:
             self._fall_mask = task.fall_mask(model, allowed)
@@ -173,6 +176,8 @@ class MimicVecEnv:
                 lambda tt: reference_state(self.clip, tt + self.config.policy_dt)
             )(t)
             action = q_ref[:, self._qposadr] + action
+        if not self.config.enforce_joint_limits:
+            return action
         lo = self.model.jnt_range[1:, 0]
         hi = self.model.jnt_range[1:, 1]
         return jnp.clip(action, lo[None], hi[None])
@@ -196,7 +201,9 @@ class MimicVecEnv:
 
             if mode == "pd":
                 if ctrl_name in ("implicit_pd", "stable_pd"):
-                    qfrc_fn = lambda mm, dd: implicit_pd(mm, dd, uu, gains)
+                    qfrc_fn = lambda mm, dd: implicit_pd(
+                        mm, dd, uu, gains,
+                        clamp_scale=self.config.torque_limit_scale)
                 else:
                     from pbrl_tpu.control import (inverse_dynamics_pd,
                                                   standard_pd)
@@ -209,7 +216,7 @@ class MimicVecEnv:
                         return torque_to_qfrc(mm, tau)
 
             else:
-                tau = clamp_torque(m, uu)
+                tau = clamp_torque(m, uu, self.config.torque_limit_scale)
                 qfrc_fn = lambda mm, dd, tau=tau: torque_to_qfrc(mm, tau)
 
             def sub(dd, _):

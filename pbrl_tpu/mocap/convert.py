@@ -122,6 +122,37 @@ def _unwrap_diff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (d + np.pi) % (2.0 * np.pi) - np.pi
 
 
+def _continuous_euler_track(quats: np.ndarray) -> np.ndarray:
+    """Euler-rxyz trajectory with branch continuity and recentred range.
+
+    The two euler solutions of a rotation — (a, b, c) and
+    (a+pi, pi-b, c+pi) — describe the same pose; picking whichever is
+    closer to the previous frame avoids the ±pi branch flips that a naive
+    per-frame decomposition + unwrap turns into spurious multi-revolution
+    hinge excursions (fatal for PD tracking and joint limits on e.g. the
+    backflip clip's hips). Afterwards each column is unwrapped in time and
+    shifted by whole turns so its median lies in (-pi, pi].
+    """
+    e = np.zeros((len(quats), 3))
+    prev = None
+    for k, q in enumerate(quats):
+        cand = _euler_rxyz(q)
+        if prev is not None:
+            alt = np.array([cand[0] + np.pi, np.pi - cand[1], cand[2] + np.pi])
+            d_c = np.abs(_unwrap_diff(cand, prev)).sum()
+            d_a = np.abs(_unwrap_diff(alt, prev)).sum()
+            if d_a < d_c:
+                cand = alt
+            cand = prev + _unwrap_diff(cand, prev)
+        e[k] = cand
+        prev = cand
+    # recentre whole columns (continuity preserved; pose unchanged mod 2pi
+    # only via full-turn shifts, which hinge triples realise identically)
+    med = np.median(e, axis=0)
+    e -= np.round(med / (2.0 * np.pi)) * 2.0 * np.pi
+    return e
+
+
 class ParsedClip:
     """Raw parse + converted arrays for one DeepMimic clip."""
 
@@ -204,9 +235,7 @@ def parse_deepmimic(path_or_json: str, *, velocity_mode: str = "euler_rate") -> 
             qpos[:, col] = joints[name][:, 0]
             col += 1
         else:
-            e = np.stack([_euler_rxyz(q) for q in joints[name]])
-            # Unwrap along time so finite differences are meaningful.
-            e = np.unwrap(e, axis=0)
+            e = _continuous_euler_track(joints[name])
             eulers[name] = e
             qpos[:, col : col + 3] = e
             col += 3

@@ -273,6 +273,7 @@ def build_spec(
     n_substeps: int = 8,
     mode: str = "pd",
     fall_allowed_bodies: Sequence[str] = (),
+    torque_scale: float = 1.0,
 ) -> SubstepSpec:
     """Extract all static structure from a compiled Model (host-side)."""
     f = lambda x: np.asarray(x, np.float64)
@@ -330,8 +331,8 @@ def build_spec(
     act_qadr = list(model.actuator_qposadr)
     gear = f(model.actuator_gear)
     cr = f(model.actuator_ctrlrange)
-    tau_lo = list(gear * cr[:, 0]) if model.nu else []
-    tau_hi = list(gear * cr[:, 1]) if model.nu else []
+    tau_lo = list(gear * cr[:, 0] * torque_scale) if model.nu else []
+    tau_hi = list(gear * cr[:, 1] * torque_scale) if model.nu else []
     if kp is None:
         kp = np.zeros(model.nu)
     if kd is None:

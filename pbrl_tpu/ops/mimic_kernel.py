@@ -88,6 +88,7 @@ def build_mimic_step(
     mode: str = "pd",
     fall_allowed_bodies: Sequence[str] = (),
     interpret: bool = False,
+    torque_scale: float = 1.0,
 ):
     """Returns ``step(qpos (B,nq), qvel (B,nv), u (B,nu)) ->
     (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4), fall (B,))``.
@@ -95,7 +96,8 @@ def build_mimic_step(
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     spec = fp.build_spec(model, kp=kp, kd=kd, n_substeps=n_substeps,
-                         mode=mode, fall_allowed_bodies=fall_allowed_bodies)
+                         mode=mode, fall_allowed_bodies=fall_allowed_bodies,
+                         torque_scale=torque_scale)
     nq, nv, nu, nb = spec.nq, spec.nv, spec.nu, spec.nbody
     kernel = functools.partial(_kernel, spec)
     qpos0 = jnp.asarray(np.asarray(model.qpos0), jnp.float32)

@@ -37,13 +37,21 @@ def save(directory: str, train_state, step: int) -> None:
     mgr.close()
 
 
-def restore(directory: str, step: Optional[int] = None) -> Any:
-    """Load the latest (or given) checkpoint payload as a pytree."""
+def restore(directory: str, step: Optional[int] = None, target: Any = None) -> Any:
+    """Load the latest (or given) checkpoint payload as a pytree.
+
+    ``target`` (optional) is a reference pytree with the desired structure
+    and array types — required to faithfully restore typed containers like
+    optax optimizer states.
+    """
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
-    out = mgr.restore(step)
+    if target is not None:
+        out = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    else:
+        out = mgr.restore(step)
     mgr.close()
     return out
 

@@ -302,6 +302,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
     steps_per_call: int = 10,
+    resume: bool = True,
 ):
     """Run PPO; returns (params, obs_stats, metrics_history).
 
@@ -322,6 +323,19 @@ def train(
 
     rng = jax.random.PRNGKey(config.seed)
     ts = init(rng)
+
+    if checkpoint_dir and resume:
+        from pbrl_tpu.train import checkpoint as ckpt
+
+        last = ckpt.latest_step(checkpoint_dir)
+        if last is not None:
+            target = {"params": ts.params, "opt_state": ts.opt_state,
+                      "obs_stats": ts.obs_stats, "env_steps": ts.env_steps}
+            payload = ckpt.restore(checkpoint_dir, last, target=target)
+            ts = ts.replace(params=payload["params"],
+                            opt_state=payload["opt_state"],
+                            obs_stats=payload["obs_stats"],
+                            env_steps=payload["env_steps"])
 
     batch_sh = sharded_batch_spec(mesh)
     repl = replicated(mesh)

@@ -124,9 +124,12 @@ def test_mimic_reward_near_max_on_reference(mimic):
         s = env.step(s, action)
         return s, s.reward
 
-    s, rewards = jax.jit(lambda s: jax.lax.scan(body, s, None, length=10))(s)
+    # Open-loop PD tracking has no balance feedback, so it drifts and can
+    # topple a few hundred ms after a mid-stride RSI reset; assert the
+    # window where tracking is meaningful.
+    s, rewards = jax.jit(lambda s: jax.lax.scan(body, s, None, length=6))(s)
     rewards = np.asarray(rewards)
-    assert rewards.min() > 0.5, f"tracking rewards {rewards}"
+    assert rewards.min() > 0.6, f"tracking rewards {rewards}"
     assert rewards.max() <= 1.0 + 1e-6
 
 
