@@ -61,7 +61,20 @@ def from_parsed(p: ParsedClip, name: str = "clip", dtype=jnp.float32) -> MotionC
 
 
 def load_clip(name_or_path: str, dtype=jnp.float32, **kw) -> MotionClip:
-    """Load a bundled clip by short name ('walk') or a file path."""
+    """Load a clip: bundled short name ('walk'), a DeepMimic .txt path, or a
+    DiffMimic .npy path (per-body world poses, see mocap/diffmimic.py)."""
+    if name_or_path.endswith(".npy"):
+        from pbrl_tpu.mocap.diffmimic import parse_diffmimic_npy
+
+        if not os.path.exists(name_or_path):
+            alt = os.path.join(_ASSET_DIR, "..", "motion_diffmimic", name_or_path)
+            if os.path.exists(alt):
+                name_or_path = alt
+            else:
+                raise FileNotFoundError(name_or_path)
+        name = os.path.splitext(os.path.basename(name_or_path))[0]
+        return from_parsed(parse_diffmimic_npy(name_or_path, **kw), name=name,
+                           dtype=dtype)
     if os.path.exists(name_or_path):
         path, name = name_or_path, os.path.splitext(os.path.basename(name_or_path))[0]
     else:
