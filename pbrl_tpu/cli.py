@@ -72,6 +72,7 @@ def cmd_train(args):
 
     env_cfg = EnvConfig(controller=args.controller,
                         enforce_joint_limits=not args.no_joint_limits,
+                        early_termination=not args.no_early_termination,
                         action_mode=args.action_mode)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)
@@ -208,6 +209,8 @@ def build_parser():
                     choices=["absolute", "residual", "torque"],
                     help="absolute: action = PD target; residual: action "
                          "adds to the reference pose (imitation prior)")
+    sp.add_argument("--no-early-termination", action="store_true",
+                    help="keep episodes alive on ground contact (getup clips)")
     sp.add_argument("--no-joint-limits", action="store_true",
                     help="disable hinge limit springs + target clipping "
                          "(needed for backflip/kick-class clips)")
