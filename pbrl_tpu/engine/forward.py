@@ -113,10 +113,14 @@ def _integrate_qpos(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jn
     return out
 
 
+_QVEL_LIMIT = 1e3  # defensive clamp: keeps f32 contact blowups from
+                   # cascading into NaNs (failure containment, SURVEY.md §5)
+
+
 def integrate(model: Model, data: Data) -> Data:
     """Semi-implicit Euler: velocity first, then position with new velocity."""
     h = model.option.timestep
-    qvel = data.qvel + h * data.qacc
+    qvel = jnp.clip(data.qvel + h * data.qacc, -_QVEL_LIMIT, _QVEL_LIMIT)
     qpos = _integrate_qpos(model, data.qpos, qvel, h)
     return data.replace(qpos=qpos, qvel=qvel, time=data.time + h)
 

@@ -263,7 +263,20 @@ class MimicVecEnv:
         qpos, qvel, xpos, xquat, fall = self._physics(state.qpos, state.qvel, u)
         t = state.time + self.config.n_substeps * self.config.physics_dt
 
+        # Failure containment: a numerically-poisoned env (f32 contact blowup)
+        # is terminated and sanitised so NaNs never reach the learner or the
+        # running obs statistics; auto_reset then replaces it.
+        bad = jnp.logical_not(
+            jnp.all(jnp.isfinite(qpos), axis=1)
+            & jnp.all(jnp.isfinite(qvel), axis=1))
+        qpos = jnp.where(bad[:, None], jnp.nan_to_num(qpos), qpos)
+        qvel = jnp.where(bad[:, None], jnp.nan_to_num(qvel), qvel)
+        xpos = jnp.nan_to_num(xpos)
+        xquat = jnp.where(jnp.isfinite(xquat), xquat, 1.0)
+        fall = jnp.maximum(fall, bad.astype(fall.dtype))
+
         reward, terms = self._reward_batch(qpos, qvel, t, xpos, xquat, fall)
+        reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
         done = jnp.zeros_like(fall)
         if self.config.early_termination:
             done = jnp.maximum(done, fall)

@@ -1014,8 +1014,8 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List):
 
     qacc = _solve(spec, M, extra_diag, rhs)
 
-    # semi-implicit Euler
-    qvel2 = [qvel[i] + h * qacc[i] for i in range(spec.nv)]
+    # semi-implicit Euler (with the engine's defensive qvel clamp)
+    qvel2 = [jnp.clip(qvel[i] + h * qacc[i], -1e3, 1e3) for i in range(spec.nv)]
     qpos2 = list(qpos)
     for bm in spec.bodies:
         for jm in bm.joints:
