@@ -163,7 +163,9 @@ class MimicEnv(Env):
         r_com = jnp.exp(-c.s_com * jnp.sum((com - com_ref) ** 2))
 
         reward = c.w_pose * r_pose + c.w_vel * r_vel + c.w_ee * r_ee + c.w_com * r_com
-        reward = jnp.where(fall, 0.0, reward)
+        # terminal-step zeroing only when falls terminate (see vec.py)
+        if c.early_termination:
+            reward = jnp.where(fall, 0.0, reward)
         terms = {
             "reward_pose": r_pose,
             "reward_vel": r_vel,

@@ -157,7 +157,11 @@ class MimicVecEnv:
 
         reward = (c.w_pose * r_pose + c.w_vel * r_vel + c.w_ee * r_ee
                   + c.w_com * r_com)
-        reward = jnp.where(fall > 0, 0.0, reward)
+        # DeepMimic zeroes the terminal step's reward — only meaningful when
+        # falls actually terminate; for floor-contact tasks (getup) ground
+        # touches are part of the motion and must stay rewarded.
+        if c.early_termination:
+            reward = jnp.where(fall > 0, 0.0, reward)
         terms = {
             "reward_pose": r_pose, "reward_vel": r_vel, "reward_ee": r_ee,
             "reward_com": r_com, "pose_error": jnp.mean(joint_err, axis=1),
