@@ -38,6 +38,8 @@ class TrainConfig:
     num_minibatches: int = 8
     update_epochs: int = 4
     learning_rate: float = 3e-4
+    lr_decay: bool = True        # linear decay to 0 over the run (guards
+                                 # against late-training PPO collapse)
     gamma: float = 0.95          # DeepMimic's discount
     gae_lambda: float = 0.95
     clip_epsilon: float = 0.2
@@ -104,9 +106,16 @@ def make_train_functions(env: Env, config: TrainConfig):
     _, policy, value = networks.init_params(
         jax.random.PRNGKey(0), env.observation_size, env.action_size, config.hidden
     )
+    if config.lr_decay:
+        total_updates = (config.num_iterations * config.update_epochs
+                         * config.num_minibatches)
+        lr = optax.linear_schedule(config.learning_rate,
+                                   config.learning_rate * 0.01, total_updates)
+    else:
+        lr = config.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate),
+        optax.adam(lr),
     )
 
     vectorized = getattr(env, "is_vectorized", False)
