@@ -107,6 +107,27 @@ def test_auto_reset(venv):
     np.testing.assert_allclose(np.asarray(out.done), np.asarray(done))
 
 
+def test_ground_contact_rewarded_without_early_termination(model):
+    """Regression: floor-contact tasks (getup) must keep their reward when
+    early termination is off — the fall flag used to zero it everywhere."""
+    from pbrl_tpu.envs.humanoid_task import augment_clip
+    clip = augment_clip(model, load_clip("getup_facedown"))
+    venv = MimicVecEnv(model, clip,
+                       EnvConfig(policy_dt=0.004, physics_dt=0.002,
+                                 early_termination=False,
+                                 enforce_joint_limits=False,
+                                 reference_state_init=False),
+                       backend="xla")
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(7), 2))
+    # lying on the floor at the reference: ground contacts active
+    q_ref, _ = jax.vmap(lambda t: reference_state(
+        venv.clip, t + venv.config.policy_dt))(vs.time)
+    vs2 = jax.jit(venv.step)(vs, q_ref[:, venv._qposadr])
+    assert float(jnp.max(vs2.metrics["fall"])) == 1.0  # body on the ground...
+    assert float(jnp.min(vs2.reward)) > 0.3            # ...but still rewarded
+    assert float(jnp.max(vs2.done)) == 0.0             # and not terminated
+
+
 def test_kernel_interpret_wrapper_mechanics():
     """The Pallas wrapper (interpret mode): packing, padding to the 1024-env
     tile, in-kernel substep loop and outputs — on the tiny sphere scene.
