@@ -46,6 +46,20 @@ class MotionClip:
 
 
 def from_parsed(p: ParsedClip, name: str = "clip", dtype=jnp.float32) -> MotionClip:
+    # Device-side lookup assumes uniform frame spacing (index = t/dt). The
+    # parser faithfully records per-frame ``durations`` (the reference's
+    # ``duration_dict`` generality, SimpleConverter.py:226-238); verify the
+    # assumption instead of silently narrowing it. DeepMimic files store the
+    # interval *to the next frame*, so the final frame's duration (0 in all
+    # bundled clips) is excluded from the check.
+    inter = np.asarray(p.durations[:-1], np.float64)
+    if inter.size and not np.allclose(inter, inter[0], rtol=1e-5, atol=1e-9):
+        raise ValueError(
+            f"clip {name!r} ({p.source}) has non-uniform frame durations "
+            f"(min {inter.min():.6g}, max {inter.max():.6g}); "
+            "MotionClip's t/dt indexing requires uniform spacing — resample "
+            "the clip to a fixed dt first"
+        )
     offset = p.qpos[-1, :3] - p.qpos[0, :3]
     offset[2] = 0.0  # vertical displacement never accumulates
     return MotionClip(

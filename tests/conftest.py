@@ -20,3 +20,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite jits hundreds of programs (the
+# vmapped physics engine alone is ~50k ops); without a cache every pytest
+# run recompiles all of them (~34 min cold on this box). With it, repeat
+# runs reuse compiled artifacts (works on the CPU backend with jax>=0.9).
+_cache_dir = os.environ.get(
+    "PBRL_TEST_CACHE", os.path.expanduser("~/.jax_cache_tests")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

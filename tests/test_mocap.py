@@ -173,3 +173,22 @@ def test_unknown_clip_errors():
     with pytest.raises(FileNotFoundError) as e:
         load_clip("moonwalk")
     assert "walk" in str(e.value)  # lists available clips
+
+
+def test_nonuniform_dt_rejected():
+    """MotionClip's t/dt indexing requires uniform frame spacing; a clip with
+    varying durations must be rejected loudly, not silently mis-indexed."""
+    import json
+
+    from pbrl_tpu.mocap.clip import from_parsed
+
+    with open(_clip_path("walk")) as f:
+        data = json.load(f)
+    data["Frames"] = data["Frames"][:5]
+    data["Frames"][2][0] = 2.0 * data["Frames"][0][0]  # stretch one interval
+    p = parse_deepmimic(json.dumps(data))
+    with pytest.raises(ValueError, match="non-uniform"):
+        from_parsed(p, name="synthetic")
+    # All bundled clips pass the guard.
+    for name in CLIP_FACTS:
+        load_clip(name)
