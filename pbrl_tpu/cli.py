@@ -11,8 +11,8 @@ import json
 import sys
 
 
-def _add_clip_arg(p):
-    p.add_argument("--clip", default="walk",
+def _add_clip_arg(p, default="walk"):
+    p.add_argument("--clip", default=default,
                    help="bundled clip name (walk, backflip, ...) or a file path")
 
 
@@ -63,6 +63,17 @@ def cmd_replay(args):
 
 
 def cmd_train(args):
+    if args.distributed:
+        # Must run before the backend initialises so every process sees the
+        # global device set (ICI within a slice, DCN across hosts).
+        from pbrl_tpu.parallel import DistributedConfig, initialize_distributed
+
+        initialize_distributed(DistributedConfig(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        ))
+
     import jax
 
     from pbrl_tpu.envs import EnvConfig, MimicVecEnv
@@ -97,16 +108,42 @@ def cmd_train(args):
     return 0
 
 
-def cmd_eval(args):
-    import jax
+def _restore_run(args):
+    """(env, train_cfg) reconstructed from the checkpoint's run config.
 
+    Training runs persist their EnvConfig/TrainConfig/clip next to the
+    checkpoints (train.checkpoint.save_run_config); evaluating a
+    residual-action / no-joint-limit policy in a default env would measure
+    the wrong thing entirely. Pre-run-config checkpoints fall back to
+    defaults + CLI flags.
+    """
     from pbrl_tpu.envs import EnvConfig, MimicVecEnv
     from pbrl_tpu.mocap import load_clip
     from pbrl_tpu.model import humanoid_model
-    from pbrl_tpu.train import TrainConfig, checkpoint, make_train_functions
+    from pbrl_tpu.train import TrainConfig
+    from pbrl_tpu.train.checkpoint import load_run_config
+    from pbrl_tpu.utils.configio import dict_to_config
 
-    env = MimicVecEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
-    cfg = TrainConfig()
+    run = load_run_config(args.checkpoint_dir)
+    if run is not None:
+        env_cfg = (dict_to_config(EnvConfig, run["env_config"])
+                   if run.get("env_config") else EnvConfig())
+        train_cfg = dict_to_config(TrainConfig, run["train_config"])
+        clip = args.clip or run.get("clip") or "walk"
+    else:
+        env_cfg = EnvConfig()
+        train_cfg = TrainConfig()
+        clip = args.clip or "walk"
+    env = MimicVecEnv(humanoid_model(), load_clip(clip), env_cfg)
+    return env, train_cfg
+
+
+def cmd_eval(args):
+    import jax
+
+    from pbrl_tpu.train import checkpoint, make_train_functions
+
+    env, cfg = _restore_run(args)
     _, _, evaluate = make_train_functions(env, cfg)
     payload = checkpoint.restore(args.checkpoint_dir)
     from pbrl_tpu.train.running_stats import RunningStats
@@ -125,19 +162,17 @@ def cmd_rollout(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
-    from pbrl_tpu.mocap import load_clip
-    from pbrl_tpu.model import humanoid_model, humanoid_spec
-    from pbrl_tpu.train import TrainConfig, checkpoint, make_train_functions
+    from pbrl_tpu.model import humanoid_spec
+    from pbrl_tpu.train import checkpoint
     from pbrl_tpu.train.networks import PolicyNetwork
     from pbrl_tpu.train.running_stats import RunningStats, normalize
     from pbrl_tpu.viz import dump_trajectory, render_video, save_video
 
-    env = MimicVecEnv(humanoid_model(), load_clip(args.clip), EnvConfig())
+    env, train_cfg = _restore_run(args)
     payload = checkpoint.restore(args.checkpoint_dir)
     stats = RunningStats(**payload["obs_stats"])
     policy = PolicyNetwork(action_size=env.action_size,
-                           hidden=tuple(TrainConfig().hidden))
+                           hidden=tuple(train_cfg.hidden))
     params = payload["params"]["policy"]
 
     B = 1
@@ -219,10 +254,19 @@ def build_parser():
                     help="physics backend: fused Pallas kernel (TPU) or XLA")
     sp.add_argument("--checkpoint-dir", default=None)
     sp.add_argument("--quiet", dest="verbose", action="store_false")
+    sp.add_argument("--distributed", action="store_true",
+                    help="multi-host run: jax.distributed.initialize before "
+                         "the backend starts (auto-detects TPU pod metadata "
+                         "unless --coordinator/--num-processes/--process-id "
+                         "are given)")
+    sp.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (multi-host)")
+    sp.add_argument("--num-processes", type=int, default=None)
+    sp.add_argument("--process-id", type=int, default=None)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval", help="evaluate a checkpoint")
-    _add_clip_arg(sp)
+    _add_clip_arg(sp, default=None)  # None: use the checkpoint's run config
     sp.add_argument("--checkpoint-dir", required=True)
     sp.add_argument("--num-envs", type=int, default=128)
     sp.add_argument("--steps", type=int, default=256)
@@ -230,7 +274,7 @@ def build_parser():
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("rollout", help="roll a trained policy -> trajectory/video")
-    _add_clip_arg(sp)
+    _add_clip_arg(sp, default=None)  # None: use the checkpoint's run config
     sp.add_argument("--checkpoint-dir", required=True)
     sp.add_argument("--steps", type=int, default=300)
     sp.add_argument("--seed", type=int, default=0)

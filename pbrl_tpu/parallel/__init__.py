@@ -8,6 +8,11 @@ parameters replicated — XLA inserts the gradient all-reduce (over ICI within
 a slice, DCN across hosts) from the sharding constraints alone.
 """
 
+from pbrl_tpu.parallel.distributed import (  # noqa: F401
+    DistributedConfig,
+    initialize_distributed,
+    is_primary_host,
+)
 from pbrl_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     make_mesh,

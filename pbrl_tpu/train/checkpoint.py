@@ -61,3 +61,36 @@ def latest_step(directory: str) -> Optional[int]:
     step = mgr.latest_step()
     mgr.close()
     return step
+
+
+_RUN_CONFIG = "run_config.json"
+
+
+def save_run_config(directory: str, env, train_config) -> None:
+    """Persist the run's env/train configuration next to the checkpoints so
+    ``pbrl eval``/``pbrl rollout`` can reconstruct the exact training env
+    (action mode, joint limits, controller, clip) instead of guessing."""
+    import json
+
+    from pbrl_tpu.utils.configio import config_to_dict
+
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    meta = {
+        "clip": getattr(getattr(env, "clip", None), "name", None),
+        "env_config": config_to_dict(env.config) if getattr(env, "config", None) else None,
+        "train_config": config_to_dict(train_config),
+    }
+    with open(os.path.join(directory, _RUN_CONFIG), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_run_config(directory: str) -> Optional[dict]:
+    """Load the run configuration saved by :func:`save_run_config`, or None
+    for checkpoints that predate it."""
+    import json
+
+    path = os.path.join(directory, _RUN_CONFIG)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

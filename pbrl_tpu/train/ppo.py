@@ -333,9 +333,17 @@ def train(
     rng = jax.random.PRNGKey(config.seed)
     ts = init(rng)
 
-    if checkpoint_dir and resume:
+    # Host-side side effects (checkpoints, progress) happen on process 0
+    # only — multi-host runs execute this same function on every host.
+    from pbrl_tpu.parallel.distributed import is_primary_host
+
+    primary = is_primary_host()
+    if checkpoint_dir:
         from pbrl_tpu.train import checkpoint as ckpt
 
+        if primary:
+            ckpt.save_run_config(checkpoint_dir, env, config)
+    if checkpoint_dir and resume:
         last = ckpt.latest_step(checkpoint_dir)
         if last is not None:
             target = {"params": ts.params, "opt_state": ts.opt_state,
@@ -389,10 +397,11 @@ def train(
             _time.perf_counter() - t0
         )
         history.append(last)
-        if progress_fn is not None:
+        if progress_fn is not None and primary:
             progress_fn(it, last)
-        if checkpoint_dir and (call + 1) % max(1, checkpoint_every // steps_per_call) == 0:
+        if (checkpoint_dir and primary
+                and (call + 1) % max(1, checkpoint_every // steps_per_call) == 0):
             ckpt.save(checkpoint_dir, ts, step=it + 1)
-    if checkpoint_dir:
+    if checkpoint_dir and primary:
         ckpt.save(checkpoint_dir, ts, step=config.num_iterations)
     return ts.params, ts.obs_stats, history
