@@ -21,6 +21,43 @@ import time
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 ITERS = int(os.environ.get("BENCH_ITERS", 100))
 BASELINE_PER_CHIP = 125_000.0  # 1M env-steps/s on 8 chips
+SKIP_PARITY = os.environ.get("BENCH_SKIP_PARITY", "") == "1"
+
+
+def _kernel_vs_xla_parity(model, clip):
+    """Assert the Mosaic kernel agrees with the XLA einsum backend on real
+    TPU hardware before timing it (VERDICT r1: bench measured speed, not
+    correctness — a lowering divergence would have gone unnoticed).
+
+    Two policy steps (16 substeps) from identical crouched starts, 256 envs.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
+
+    cfg = EnvConfig(reference_state_init=True)
+    kenv = MimicVecEnv(model, clip, cfg, backend="kernel")
+    xenv = MimicVecEnv(model, clip, cfg, backend="xla")
+    B = 256
+    rngs = jax.random.split(jax.random.PRNGKey(7), B)
+    ks = jax.jit(kenv.reset)(rngs)
+    xs = jax.jit(xenv.reset)(rngs)
+    act = jnp.zeros((B, kenv.action_size))
+    kstep = jax.jit(kenv.step)
+    xstep = jax.jit(xenv.step)
+    for _ in range(2):
+        ks = kstep(ks, act)
+        xs = xstep(xs, act)
+    dq = float(jnp.max(jnp.abs(ks.qpos - xs.qpos)))
+    dv = float(jnp.max(jnp.abs(ks.qvel - xs.qvel)))
+    dr = float(jnp.max(jnp.abs(ks.reward - xs.reward)))
+    print(f"[bench] kernel-vs-xla parity: |dq|={dq:.2e} |dv|={dv:.2e} "
+          f"|dreward|={dr:.2e}", file=sys.stderr)
+    assert np.isfinite(dq) and dq < 5e-3, f"kernel qpos diverged: {dq}"
+    assert np.isfinite(dv) and dv < 5e-2, f"kernel qvel diverged: {dv}"
+    assert np.isfinite(dr) and dr < 5e-2, f"kernel reward diverged: {dr}"
 
 
 def main():
@@ -33,6 +70,9 @@ def main():
 
     n_chips = max(1, len(jax.devices()))
     model = humanoid_model()
+    clip = load_clip("walk")
+    if jax.default_backend() != "cpu" and not SKIP_PARITY:
+        _kernel_vs_xla_parity(model, clip)
     # The production batched env: whole physics step (8 Stable-PD substeps,
     # contacts, tree solve, integration) fused into one Pallas kernel.
     env = MimicVecEnv(model, load_clip("walk"), EnvConfig())

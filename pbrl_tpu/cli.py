@@ -56,7 +56,7 @@ def cmd_replay(args):
     dump_trajectory(args.out, qpos, fps)
     print(f"replayed {args.clip}: {steps} frames -> {args.out}")
     if args.video:
-        frames = render_video(humanoid_spec(), qpos, camera=None)
+        frames = render_video(humanoid_spec(), qpos, camera=args.camera or None)
         out = save_video(args.video, frames, fps=fps)
         print(f"video -> {out}")
     return 0
@@ -84,7 +84,9 @@ def cmd_train(args):
     env_cfg = EnvConfig(controller=args.controller,
                         enforce_joint_limits=not args.no_joint_limits,
                         early_termination=not args.no_early_termination,
-                        action_mode=args.action_mode)
+                        action_mode=args.action_mode,
+                        rsi_phase_bias=args.rsi_phase_bias,
+                        torque_limit_scale=args.torque_scale)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)
     cfg = TrainConfig(
@@ -199,7 +201,7 @@ def cmd_rollout(args):
           f"{float(np.asarray(reward)[:alive].mean()):.3f}, "
           f"alive {alive} steps -> {args.out}")
     if args.video:
-        frames = render_video(humanoid_spec(), qpos)
+        frames = render_video(humanoid_spec(), qpos, camera=args.camera or None)
         out = save_video(args.video, frames, fps=fps)
         print(f"video -> {out}")
     return 0
@@ -228,6 +230,8 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=0, help="frames (default: one cycle)")
     sp.add_argument("--out", default="replay.npz")
     sp.add_argument("--video", default="", help="optional mp4 output path")
+    sp.add_argument("--camera", default="back",
+                    help="named model camera for --video (back/side; '' = free)")
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("train", help="PPO imitation training")
@@ -249,6 +253,11 @@ def build_parser():
     sp.add_argument("--no-joint-limits", action="store_true",
                     help="disable hinge limit springs + target clipping "
                          "(needed for backflip/kick-class clips)")
+    sp.add_argument("--rsi-phase-bias", type=float, default=0.0,
+                    help="bias RSI resets toward later (>0) or earlier (<0) "
+                         "clip phases (curriculum for ballistic landings)")
+    sp.add_argument("--torque-scale", type=float, default=2.0,
+                    help="torque envelope = gear * ctrlrange * this scale")
     sp.add_argument("--backend", default="auto",
                     choices=["auto", "kernel", "xla"],
                     help="physics backend: fused Pallas kernel (TPU) or XLA")
@@ -280,6 +289,8 @@ def build_parser():
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", default="rollout.npz")
     sp.add_argument("--video", default="")
+    sp.add_argument("--camera", default="back",
+                    help="named model camera for --video (back/side; '' = free)")
     sp.set_defaults(fn=cmd_rollout)
 
     sp = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -15,8 +15,11 @@ implicitly through ``mjx.step``, SURVEY.md §2.2). TPU-first design choices:
 
 Exact narrow-phase: plane-{sphere, capsule, box-corners}, sphere-sphere,
 sphere-capsule, sphere-box, capsule-capsule. Approximations (documented):
-capsule-box uses two-pass closest-point refinement; box-box uses inscribed
-spheres (only relevant for foot-foot contact in the humanoid).
+capsule-box uses two-pass closest-point refinement; box-box uses a
+corner-vs-box manifold (8 corners of each box probed against the other,
+16 candidate contacts per pair — catches corner-face and face-face
+configurations; pure edge-edge crossings without corner penetration are
+missed, negligible at 500 Hz substeps for the humanoid's foot-foot pair).
 """
 
 from __future__ import annotations
@@ -50,14 +53,24 @@ def _plane_groups(model: Model):
     return groups
 
 
+def plane_contact_count(t: int) -> int:
+    """Contacts emitted per plane-geom pair of geom type ``t``."""
+    return {GeomType.SPHERE: 1, GeomType.CAPSULE: 2,
+            GeomType.BOX: _BOX_CORNERS_PER_CONTACT}[t]
+
+
+def pair_contact_count(t1: int, t2: int) -> int:
+    """Contacts emitted per geom-geom pair (box-box: 8 corners each way)."""
+    return 16 if (t1, t2) == (GeomType.BOX, GeomType.BOX) else 1
+
+
 def ncon_max(model: Model) -> int:
     """Static maximum contact count for this model."""
     n = 0
     for t, pairs in _plane_groups(model).items():
-        per = {GeomType.SPHERE: 1, GeomType.CAPSULE: 2, GeomType.BOX: _BOX_CORNERS_PER_CONTACT}[t]
-        n += per * len(pairs)
-    for _, pairs in _pair_groups(model).items():
-        n += len(pairs)
+        n += plane_contact_count(t) * len(pairs)
+    for (t1, t2), pairs in _pair_groups(model).items():
+        n += pair_contact_count(t1, t2) * len(pairs)
     return n
 
 
@@ -282,10 +295,32 @@ def collide(model: Model, data: Data) -> Data:
             n = -quat.rotate(q2, n_l)
             pos = p2 + quat.rotate(q2, closest_l) - n * (0.5 * dist)[:, None]
         elif (t1, t2) == (GeomType.BOX, GeomType.BOX):
-            # inscribed-sphere approximation (humanoid: foot-foot only)
-            r1 = jnp.min(s1, axis=-1)
-            r2 = jnp.min(s2, axis=-1)
-            dist, pos, n = _sphere_sphere(p1, r1, p2, r2)
+            # corner-vs-box manifold: probe the 8 corners of each box against
+            # the other (16 candidates/pair; replaces round-1's inscribed
+            # spheres — the MJX box-box capability the reference gets
+            # implicitly, SURVEY.md §2.2)
+            corners_l = jnp.asarray(
+                np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32)
+            )  # (8, 3)
+
+            def corner_probe(pc, qc, sc, pb, qb, sb):
+                """Corners of box c (n,8) vs box b. Normal points box_b -> corner."""
+                cw = pc[:, None, :] + quat.rotate(
+                    qc[:, None, :], corners_l[None, :, :] * sc[:, None, :])
+                p_loc = quat.rotate_inv(qb[:, None, :], cw - pb[:, None, :])
+                closest_l, n_l, d = _point_box(p_loc, sb[:, None, :])
+                n_w = quat.rotate(qb[:, None, :], n_l)
+                surf = pb[:, None, :] + quat.rotate(qb[:, None, :], closest_l)
+                pos = surf + n_w * (0.5 * d)[..., None]
+                return d, pos, n_w
+
+            d12, pos12, nw12 = corner_probe(p1, q1, s1, p2, q2, s2)  # n_w: 2 -> 1
+            d21, pos21, nw21 = corner_probe(p2, q2, s2, p1, q1, s1)  # n_w: 1 -> 2
+            dist = jnp.concatenate([d12, d21], axis=1)
+            pos = jnp.concatenate([pos12, pos21], axis=1)
+            n = jnp.concatenate([-nw12, nw21], axis=1)  # 1 -> 2
+            emit(dist, pos, n, cfric, cmarg, body1, body2, per=16)
+            continue
         else:
             raise NotImplementedError(f"pair {t1} vs {t2}")
         emit(dist, pos, n, cfric, cmarg, body1, body2)

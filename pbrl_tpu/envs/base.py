@@ -60,6 +60,11 @@ class EnvConfig:
     s_com: float = 10.0
     # -- episode control --
     reference_state_init: bool = True   # RSI: reset at a random clip phase
+    # RSI phase curriculum: 0 = uniform over the clip. Positive values bias
+    # resets toward LATER phases (t0 = hi * u^(1/(1+bias))) — e.g. the
+    # aerial/landing segment of ballistic clips; negative toward earlier
+    # (t0 = hi * u^(1-bias)).
+    rsi_phase_bias: float = 0.0
     early_termination: bool = True      # terminate on fall
     fall_contact_bodies: tuple = ()     # body names allowed to touch ground
     max_episode_time: float = 10.0

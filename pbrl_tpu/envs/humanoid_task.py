@@ -94,15 +94,14 @@ def fall_mask(model: Model, allowed_body_names: Tuple[str, ...]):
     mask = []
     # Contact slot layout must mirror collision.collide's emit order.
     for t, pairs in sorted(collision._plane_groups(model).items()):
-        from pbrl_tpu.model.spec import GeomType
-
-        per = {GeomType.SPHERE: 1, GeomType.CAPSULE: 2,
-               GeomType.BOX: collision._BOX_CORNERS_PER_CONTACT}[t]
+        per = collision.plane_contact_count(t)
         for _, other in pairs:
             b = model.geom_bodyid[other]
             mask.extend([b not in allowed] * per)
-    for _, pairs in sorted(collision._pair_groups(model).items()):
-        mask.extend([False] * len(pairs))  # body-body contacts never "fall"
+    for (t1, t2), pairs in sorted(collision._pair_groups(model).items()):
+        # body-body contacts never "fall"
+        mask.extend([False] * (collision.pair_contact_count(t1, t2) * len(pairs)))
+    assert len(mask) == collision.ncon_max(model), "layout drifted from collide()"
     return np.asarray(mask, bool)
 
 

@@ -244,8 +244,13 @@ class MimicVecEnv:
         if self.config.reference_state_init:
             hi = (self.clip.cycle_time if self.clip.loop
                   else 0.9 * self.clip.cycle_time)
-            t0 = jax.vmap(lambda k: jax.random.uniform(k, (), minval=0.0,
-                                                       maxval=hi))(keys)
+            u = jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
+            bias = self.config.rsi_phase_bias
+            if bias > 0:
+                u = u ** (1.0 / (1.0 + bias))
+            elif bias < 0:
+                u = u ** (1.0 - bias)
+            t0 = hi * u
         else:
             t0 = jnp.zeros((B,))
         qpos, qvel = jax.vmap(lambda tt: reference_state(self.clip, tt))(t0)

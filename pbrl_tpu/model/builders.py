@@ -18,6 +18,7 @@ import numpy as np
 
 from pbrl_tpu.model.spec import (
     ActuatorSpec,
+    CameraSpec,
     GeomSpec,
     GeomType,
     JointSpec,
@@ -122,6 +123,14 @@ def humanoid_spec(gravity: bool = True, floor: bool = True) -> ModelSpec:
     )
     root.geoms.append(_sphere("root", 0.09, (0, 0, 0.07), 6.0))
     root.sites.append(_site("joint_waist", (0, 0, 0.205)))
+    # tracking cameras used by every reference rendering notebook
+    # (final_humanoid.xml:26-27)
+    root.cameras.append(CameraSpec(
+        name="back", pos=np.array([-3.0, 0.0, 1.0]),
+        xyaxes=np.array([0.0, -1.0, 0.0, 1.0, 0.0, 2.0]), mode="trackcom"))
+    root.cameras.append(CameraSpec(
+        name="side", pos=np.array([0.0, -3.0, 1.0]),
+        xyaxes=np.array([1.0, 0.0, 0.0, 0.0, 1.0, 2.0]), mode="trackcom"))
 
     chest = spec.add_body("chest", "root", pos=(0, 0, 0.236151))
     chest.joints += _hinge3("chest", [(-1.2, 1.2)] * 3)

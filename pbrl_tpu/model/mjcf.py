@@ -24,6 +24,7 @@ import numpy as np
 from pbrl_tpu.model.spec import (
     ActuatorSpec,
     BodySpec,
+    CameraSpec,
     GeomSpec,
     GeomType,
     JointSpec,
@@ -189,6 +190,11 @@ def load_spec(xml: str, *, path: bool = False) -> ModelSpec:
             if child.tag == "joint":
                 body.joints.append(parse_joint(child, counter[0]))
                 counter[0] += 1
+            elif child.tag == "freejoint":
+                # MJCF shorthand for <joint type="free"> (name passthrough)
+                child.set("type", "free")
+                body.joints.append(parse_joint(child, counter[0]))
+                counter[0] += 1
             elif child.tag == "geom":
                 body.geoms.append(parse_geom(child, counter[0]))
                 counter[0] += 1
@@ -199,6 +205,16 @@ def load_spec(xml: str, *, path: bool = False) -> ModelSpec:
                 body.sites.append(
                     SiteSpec(name=child.get("name", f"site{counter[0]}"),
                              pos=_floats(child.get("pos", "0 0 0")), quat=q)
+                )
+                counter[0] += 1
+            elif child.tag == "camera":
+                xy = (_floats(child.get("xyaxes"))
+                      if child.get("xyaxes") else None)
+                body.cameras.append(
+                    CameraSpec(name=child.get("name", f"camera{counter[0]}"),
+                               pos=_floats(child.get("pos", "0 0 0")),
+                               xyaxes=xy,
+                               mode=child.get("mode", "fixed"))
                 )
                 counter[0] += 1
             elif child.tag == "body":
@@ -304,6 +320,11 @@ def to_mjcf(spec: ModelSpec) -> str:
             emit_geom(el, g)
         for s in b.sites:
             ET.SubElement(el, "site", name=s.name, pos=_fmt(s.pos), quat=_fmt(s.quat), size="0.01")
+        for c in b.cameras:
+            attrs = dict(name=c.name, pos=_fmt(c.pos), mode=c.mode)
+            if c.xyaxes is not None:
+                attrs["xyaxes"] = _fmt(c.xyaxes)
+            ET.SubElement(el, "camera", **attrs)
         for ci, cb in enumerate(spec.bodies):
             if cb.parent == bi:
                 emit_body(el, ci)

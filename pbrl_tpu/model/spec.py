@@ -82,6 +82,20 @@ class SiteSpec:
 
 
 @dataclasses.dataclass
+class CameraSpec:
+    """Rendering camera (host-side only; never enters the compiled Model).
+
+    Mirrors the reference's tracking cameras
+    (``final_humanoid.xml:26-27``: back/side, mode="trackcom").
+    """
+
+    name: str
+    pos: np.ndarray                    # (3,) in body frame
+    xyaxes: Optional[np.ndarray] = None  # (6,) x/y axes of the camera frame
+    mode: str = "fixed"                # fixed | trackcom | track | targetbody
+
+
+@dataclasses.dataclass
 class BodySpec:
     name: str
     parent: int               # index into ModelSpec.bodies, -1 = world
@@ -90,6 +104,7 @@ class BodySpec:
     joints: List[JointSpec] = dataclasses.field(default_factory=list)
     geoms: List[GeomSpec] = dataclasses.field(default_factory=list)
     sites: List[SiteSpec] = dataclasses.field(default_factory=list)
+    cameras: List[CameraSpec] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass

@@ -207,7 +207,8 @@ class _BodyMeta:
 class _ContactSlot:
     kind: str          # 'plane_sphere' | 'plane_capend' | 'plane_corner' |
                        # 'sphere_sphere' | 'sphere_capsule' | 'sphere_box' |
-                       # 'capsule_capsule' | 'capsule_box'
+                       # 'capsule_capsule' | 'capsule_box' |
+                       # 'boxcorner_box' | 'box_boxcorner' (one corner each)
     g1: int
     g2: int
     body1: int         # -1 = world
@@ -383,13 +384,19 @@ def build_spec(
                 add("plane_corner", gp, go, extra=c)
     for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
         t1, t2 = model.geom_type[g1], model.geom_type[g2]
+        if (t1, t2) == (GeomType.BOX, GeomType.BOX):
+            # corner-vs-box manifold: 8 corners of each box probed against
+            # the other (mirrors engine/collision.py's narrow phase)
+            for c in corners:
+                add("boxcorner_box", g1, g2, extra=c)
+                add("box_boxcorner", g1, g2, extra=c)
+            continue
         kinds = {
             (GeomType.SPHERE, GeomType.SPHERE): "sphere_sphere",
             (GeomType.SPHERE, GeomType.CAPSULE): "sphere_capsule",
             (GeomType.SPHERE, GeomType.BOX): "sphere_box",
             (GeomType.CAPSULE, GeomType.CAPSULE): "capsule_capsule",
             (GeomType.CAPSULE, GeomType.BOX): "capsule_box",
-            (GeomType.BOX, GeomType.BOX): "box_box",
         }
         add(kinds[(t1, t2)], g1, g2)
 
@@ -674,8 +681,11 @@ def _point_box(pl_, half):
     cl = (jnp.clip(pl_[0], -hx, hx), jnp.clip(pl_[1], -hy, hy),
           jnp.clip(pl_[2], -hz, hz))
     delta = v3_sub(pl_, cl)
-    d_out = v3_norm(delta, 1e-18)
-    outside = d_out > 1e-9
+    dsq = v3_dot(delta, delta)
+    # squared-distance test: v3_norm clamps to ~1e-9 and float rounding made
+    # exactly-interior points (delta == 0 after the clip) classify as outside
+    outside = dsq > 1e-18
+    d_out = jnp.sqrt(jnp.maximum(dsq, 1e-18))
     n_out = v3_scale(delta, 1.0 / d_out)
     gx, gy, gz = hx - jnp.abs(pl_[0]), hy - jnp.abs(pl_[1]), hz - jnp.abs(pl_[2])
     # interior: nearest face
@@ -769,9 +779,22 @@ def _contact_geometry(spec, slot, xpos, xquat, like, cache):
         e0, e1 = _cap_ends_cached(spec, slot.g2, (p2, q2), cache)
         cp = _closest_on_segment(e0, e1, p1)
         return sphere_sphere(p1, float(s1[0]), cp, float(s2[0])) + (None,)
-    if k == "box_box":
-        return sphere_sphere(p1, float(min(x for x in s1 if x > 0)),
-                             p2, float(min(x for x in s2 if x > 0))) + (None,)
+    if k in ("boxcorner_box", "box_boxcorner"):
+        # one corner of box a probed against box b; normal emitted 1 -> 2
+        sx, sy, sz = slot.extra
+        if k == "boxcorner_box":
+            (pa, qa, sa), (pb, qb, sb) = ((p1, q1, s1), (p2, q2, s2))
+        else:
+            (pa, qa, sa), (pb, qb, sb) = ((p2, q2, s2), (p1, q1, s1))
+        corner_l = (float(sa[0]) * sx, float(sa[1]) * sy, float(sa[2]) * sz)
+        cw = v3_add(pa, q_rotate(qa, v3_const(corner_l, like)))
+        pl_ = q_rotate_inv(qb, v3_sub(cw, pb))
+        closest_l, n_l, d = _point_box(pl_, sb)
+        n_w = q_rotate(qb, n_l)  # box b -> corner of a
+        surf = v3_add(pb, q_rotate(qb, closest_l))
+        pos = v3_add(surf, v3_scale(n_w, 0.5 * d))
+        n = v3_scale(n_w, -1.0) if k == "boxcorner_box" else n_w
+        return d, pos, n, None
     if k == "sphere_box":
         pl_ = q_rotate_inv(q2, v3_sub(p1, p2))
         closest_l, n_l, d = _point_box(pl_, s2)

@@ -37,6 +37,10 @@ def render_video(spec_or_model, qpos: np.ndarray, *, width=640, height=480,
                  camera: Optional[str] = None) -> np.ndarray:
     """(T, H, W, 3) uint8 frames of a qpos trajectory, rendered by host
     MuJoCo. Accepts a ModelSpec (preferred) or a compiled Model's spec."""
+    # Headless boxes (no DISPLAY): MuJoCo needs an explicit offscreen GL
+    # backend or mjr_makeContext aborts. EGL is the one present in this image.
+    if "MUJOCO_GL" not in os.environ and not os.environ.get("DISPLAY"):
+        os.environ["MUJOCO_GL"] = "egl"
     import mujoco
 
     from pbrl_tpu.model.mjcf import to_mjcf
@@ -77,6 +81,16 @@ def save_video(path: str, frames: np.ndarray, fps: float = 30.0) -> str:
 
         imageio.mimwrite(path, frames, fps=fps)
         return path
+    except Exception:
+        pass
+    try:
+        # No ffmpeg in the image: animated GIF via imageio's PIL plugin
+        # keeps the rollout viewable.
+        import imageio
+
+        alt = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(alt, frames, duration=1000.0 / fps, loop=0)
+        return alt
     except Exception:
         alt = os.path.splitext(path)[0] + "_frames.npz"
         np.savez_compressed(alt, frames=frames, fps=fps)

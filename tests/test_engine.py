@@ -161,3 +161,44 @@ def test_ctrlrange_clamp(humanoid):
     gear = float(m.actuator_gear[act])
     d1 = fwd(m, d.replace(ctrl=jnp.zeros(m.nu).at[act].set(10.0)))
     np.testing.assert_allclose(float(d1.qfrc_actuator[dof]), 0.5 * gear, rtol=1e-6)
+
+
+_TWO_BOX_XML = """
+<mujoco model="boxes">
+  <option timestep="0.002" gravity="0 0 0"/>
+  <worldbody>
+    <body name="b1" pos="0 0 1"><freejoint/><geom type="box" size="0.1 0.05 0.03" mass="1"/></body>
+    <body name="b2" pos="0.17 0.01 1.02"><freejoint/><geom type="box" size="0.1 0.05 0.03" mass="1"/></body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_box_box_corner_narrow_phase():
+    """Two overlapping free boxes in zero gravity resolve their penetration.
+
+    Exercises the corner-vs-box manifold (the MJX box-box capability the
+    reference gets implicitly, SURVEY.md §2.2) and the <freejoint/> MJCF
+    shorthand. The initial pose penetrates 1 cm along y (the min-translation
+    axis for the deepest corners); the penalty contact must drive the
+    penetration to ~0 and give the boxes opposite separating velocities.
+    """
+    from pbrl_tpu.engine.collision import collide, ncon_max
+    from pbrl_tpu.engine.forward import forward_smooth
+    from pbrl_tpu.model.mjcf import load_model
+
+    m = load_model(_TWO_BOX_XML)
+    assert ncon_max(m) == 16  # 8 corners of each box vs the other
+    d0 = forward_smooth(m, make_data(m))
+    d0 = collide(m, d0)
+    assert float(jnp.min(d0.contact.dist)) == pytest.approx(-0.01, abs=1e-4)
+
+    d = make_data(m)
+    stepper = jax.jit(lambda d: step_n(m, d, 200))
+    d = stepper(d)
+    dT = collide(m, forward_smooth(m, d))
+    assert float(jnp.min(dT.contact.dist)) > -2e-3  # penetration resolved
+    # opposite y velocities: the contact pushed the boxes apart
+    vy1, vy2 = float(d.qvel[1]), float(d.qvel[7])
+    assert vy1 * vy2 < 0
+    assert bool(jnp.all(jnp.isfinite(d.qpos)))

@@ -126,3 +126,87 @@ def test_torque_mode(humanoid):
     tau = np.full(m.nu, 10.0)
     q2, v2, _ = fp.substep(spec_t, _rows(qpos), _rows(qvel), _rows(tau))
     assert all(np.isfinite(float(r[0])) for r in v2)
+
+
+def test_box_box_corner_differential():
+    """Corner-vs-box slots match the einsum engine on a two-box scene.
+
+    Both boxes penetrate 1 cm at t=0 (interior-corner case — regression for
+    the v3_norm rounding bug that classified exactly-interior points as
+    outside). Contact geometry (dist/pos/normal per corner probe) must agree
+    slot-for-slot; the integrated state gets a looser tolerance because the
+    opposed corner pushes make the contact torque-heavy and f32-chaotic.
+    """
+    from pbrl_tpu.engine.collision import collide
+    from pbrl_tpu.engine.forward import forward_smooth
+    from pbrl_tpu.model.mjcf import load_model
+    from tests.test_engine import _TWO_BOX_XML
+
+    m = load_model(_TWO_BOX_XML)
+    spec = fp.build_spec(m, n_substeps=1, mode="torque")
+    bb = [s for s in spec.slots if s.kind in ("boxcorner_box", "box_boxcorner")]
+    assert len(bb) == 16
+
+    # --- geometry: each field slot vs the matching engine contact row ------
+    d0 = collide(m, forward_smooth(m, make_data(m)))
+    con = d0.contact  # rows 0-7: corners of box1 vs box2; 8-15: box2 vs box1
+    corners = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+               for sz in (-1.0, 1.0)]
+    qrows = _rows(np.asarray(m.qpos0))
+    xpos, xquat = fp.fk_outputs(spec, qrows)
+    cache = {}
+    for slot in bb:
+        ci = corners.index(slot.extra)
+        row = ci if slot.kind == "boxcorner_box" else 8 + ci
+        dist, pos, n, _ = fp._contact_geometry(spec, slot, xpos, xquat,
+                                               qrows[0], cache)
+        np.testing.assert_allclose(float(np.asarray(dist).ravel()[0]),
+                                   float(con.dist[row]), atol=1e-6)
+        got_p = np.array([float(np.asarray(c).ravel()[0]) for c in pos])
+        got_n = np.array([float(np.asarray(c).ravel()[0]) for c in n])
+        np.testing.assert_allclose(got_p, np.asarray(con.pos[row]), atol=1e-6)
+        np.testing.assert_allclose(got_n, np.asarray(con.frame[row, 0]), atol=1e-6)
+
+    # --- integrated state over a few substeps ------------------------------
+    qrows, vrows = _rows(np.asarray(m.qpos0)), _rows(np.zeros(m.nv))
+    d = make_data(m)
+    for _ in range(4):
+        d = engine_step(m, d)
+        qrows, vrows, _ = fp.substep(spec, qrows, vrows, [])
+    qf = np.array([float(r[0]) for r in qrows])
+    vf = np.array([float(r[0]) for r in vrows])
+    np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-4)
+    np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=2e-2)
+
+
+def test_foot_foot_contact_differential(humanoid, spec):
+    """Crossed-feet pose activates the foot-foot manifold in BOTH engines and
+    the substep stays in lockstep (the walk/backflip crossover-step case the
+    round-1 inscribed-sphere approximation mishandled)."""
+    from pbrl_tpu.engine.collision import collide
+    from pbrl_tpu.engine.forward import forward_smooth
+
+    m = humanoid
+    qpos = np.asarray(m.qpos0, np.float64).copy()
+    qpos[2] = 1.0    # airborne: isolates foot-foot from floor contacts
+    qpos[21] = 0.15  # right_hip_x: swing right leg across
+    qpos[22] = 0.05  # right_hip_y
+    d0 = collide(m, forward_smooth(
+        m, make_data(m, qpos=jnp.asarray(qpos, jnp.float32))))
+    fb1, fb2 = m.geom_bodyid[12], m.geom_bodyid[15]
+    mask = (np.asarray(d0.contact.body1) == fb1) & (np.asarray(d0.contact.body2) == fb2)
+    ff = np.asarray(d0.contact.dist)[mask]
+    assert ff.min() < -5e-3  # feet genuinely interpenetrate here
+
+    gains = default_gains()
+    target = np.zeros(m.nu)
+    qrows, vrows = _rows(qpos), _rows(np.zeros(m.nv))
+    d = make_data(m, qpos=jnp.asarray(qpos, jnp.float32))
+    for _ in range(2):
+        d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
+            mm, dd, jnp.asarray(target, jnp.float32), gains))
+        qrows, vrows, _ = fp.substep(spec, qrows, vrows, _rows(target))
+    qf = np.array([float(r[0]) for r in qrows])
+    vf = np.array([float(r[0]) for r in vrows])
+    np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
+    np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=1e-3)

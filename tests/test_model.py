@@ -6,6 +6,7 @@ Dimension facts pinned from the reference model
 """
 
 import numpy as np
+import pytest
 
 from pbrl_tpu.model import (
     GeomType,
@@ -120,3 +121,25 @@ def test_inertia_synthesis_sphere():
     i = np.asarray(m.body_inertia[0])
     want = 0.4 * 5.0 * 0.1**2
     np.testing.assert_allclose(i, np.eye(3) * want, atol=1e-7)
+
+
+def test_mjcf_cameras_roundtrip():
+    """Tracking cameras survive export -> parse and reach host MuJoCo
+    (the reference's back/side views, ``final_humanoid.xml:26-27``)."""
+    spec = humanoid_spec()
+    cams = {c.name: c for b in spec.bodies for c in b.cameras}
+    assert set(cams) == {"back", "side"}
+    assert cams["back"].mode == "trackcom"
+
+    xml = to_mjcf(spec)
+    spec2 = load_spec(xml)
+    cams2 = {c.name: c for b in spec2.bodies for c in b.cameras}
+    assert set(cams2) == {"back", "side"}
+    np.testing.assert_allclose(cams2["back"].pos, cams["back"].pos)
+    np.testing.assert_allclose(cams2["side"].xyaxes, cams["side"].xyaxes)
+
+    mujoco = pytest.importorskip("mujoco")
+    mj = mujoco.MjModel.from_xml_string(xml)
+    assert mj.ncam == 2
+    names = [mj.camera(i).name for i in range(mj.ncam)]
+    assert set(names) == {"back", "side"}
