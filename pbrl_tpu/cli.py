@@ -94,6 +94,7 @@ def cmd_train(args):
         unroll_length=args.unroll_length,
         total_env_steps=args.total_steps,
         learning_rate=args.lr,
+        gamma=args.gamma,
         seed=args.seed,
     )
 
@@ -104,6 +105,7 @@ def cmd_train(args):
     params, stats, history = train(
         env, cfg, progress_fn=progress if args.verbose else None,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
     )
     final = history[-1] if history else {}
     print(json.dumps({"final": final}))
@@ -240,6 +242,12 @@ def build_parser():
     sp.add_argument("--unroll-length", type=int, default=16)
     sp.add_argument("--total-steps", type=int, default=10_000_000)
     sp.add_argument("--lr", type=float, default=3e-4)
+    sp.add_argument("--gamma", type=float, default=0.95,
+                    help="discount; DeepMimic's 0.95 at 30 Hz sees ~0.66 s "
+                         "ahead — at this env's 60 Hz use ~0.975 for the "
+                         "same horizon (ballistic skills need it)")
+    sp.add_argument("--checkpoint-every", type=int, default=200,
+                    help="iterations between checkpoints")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--controller", default="implicit_pd",
                     choices=["implicit_pd", "stable_pd", "standard_pd",

@@ -154,3 +154,19 @@ def test_kernel_interpret_wrapper_mechanics():
     np.testing.assert_allclose(np.asarray(xpos[:, 0, 2]), np.asarray(q2[:, 2]),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(fall), 0.0)
+
+
+def test_rsi_phase_bias_shifts_resets(model, walk):
+    """rsi_phase_bias > 0 biases reset phases toward the end of the clip
+    (landing-curriculum knob for ballistic skills); 0 stays uniform."""
+    import dataclasses
+
+    rngs = jax.random.split(jax.random.PRNGKey(11), 512)
+    t_uniform = MimicVecEnv(model, walk, CFG, backend="xla").reset(rngs).time
+    late_cfg = dataclasses.replace(CFG, rsi_phase_bias=2.0)
+    t_late = MimicVecEnv(model, walk, late_cfg, backend="xla").reset(rngs).time
+    hi = float(walk.cycle_time)
+    # uniform mean ~ hi/2; bias 2.0 -> E[u^(1/3)] = 3/4
+    assert abs(float(t_uniform.mean()) - 0.5 * hi) < 0.05 * hi
+    assert float(t_late.mean()) > 0.65 * hi
+    assert float(t_late.max()) <= hi
