@@ -86,7 +86,23 @@ def cmd_train(args):
                         early_termination=not args.no_early_termination,
                         action_mode=args.action_mode,
                         rsi_phase_bias=args.rsi_phase_bias,
-                        torque_limit_scale=args.torque_scale)
+                        torque_limit_scale=args.torque_scale,
+                        policy_dt=args.policy_dt,
+                        physics_dt=args.physics_dt,
+                        pose_termination=args.pose_termination)
+    if args.env_set:
+        import dataclasses
+
+        fields = {f.name: f.type for f in dataclasses.fields(EnvConfig)}
+        overrides = {}
+        for kv in args.env_set:
+            k, _, v = kv.partition("=")
+            if k not in fields:
+                raise SystemExit(f"--env-set: unknown EnvConfig field {k!r}")
+            cur = getattr(env_cfg, k)
+            overrides[k] = (type(cur)(v) if not isinstance(cur, bool)
+                            else v.lower() in ("1", "true", "yes"))
+        env_cfg = dataclasses.replace(env_cfg, **overrides)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)
     cfg = TrainConfig(
@@ -264,6 +280,18 @@ def build_parser():
     sp.add_argument("--rsi-phase-bias", type=float, default=0.0,
                     help="bias RSI resets toward later (>0) or earlier (<0) "
                          "clip phases (curriculum for ballistic landings)")
+    sp.add_argument("--policy-dt", type=float, default=1.0 / 60.0,
+                    help="policy period; 1/30 + --physics-dt 1/1200 = the "
+                         "reference's variant-2 (DeepMimic) rates")
+    sp.add_argument("--physics-dt", type=float, default=0.002)
+    sp.add_argument("--pose-termination", type=float, default=0.0,
+                    help="terminate when root-orientation error exceeds this "
+                         "many radians (0 = off); breaks the stand-still "
+                         "local optimum of ballistic clips")
+    sp.add_argument("--env-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override any EnvConfig field (repeatable), e.g. "
+                         "--env-set s_vel=0.02 --env-set w_vel=0.2")
     sp.add_argument("--torque-scale", type=float, default=2.0,
                     help="torque envelope = gear * ctrlrange * this scale")
     sp.add_argument("--backend", default="auto",

@@ -66,6 +66,12 @@ class EnvConfig:
     # (t0 = hi * u^(1-bias)).
     rsi_phase_bias: float = 0.0
     early_termination: bool = True      # terminate on fall
+    # Terminate when the root-orientation error vs the reference exceeds
+    # this many radians (0 = off). Kills the "stand still through the
+    # aerial phase" local optimum of ballistic clips: an episode that does
+    # not rotate with the reference ends instead of farming ground-phase
+    # reward.
+    pose_termination: float = 0.0
     fall_contact_bodies: tuple = ()     # body names allowed to touch ground
     max_episode_time: float = 10.0
     # -- observation --

@@ -172,6 +172,7 @@ class MimicEnv(Env):
             "reward_ee": r_ee,
             "reward_com": r_com,
             "pose_error": jnp.mean(joint_err),
+            "root_err": root_rot_err,
         }
         return reward, terms
 
@@ -233,6 +234,10 @@ class MimicEnv(Env):
         done = jnp.zeros(())
         if self.config.early_termination:
             done = jnp.maximum(done, fall.astype(jnp.float32))
+        if self.config.pose_termination > 0:
+            off_pose = terms["root_err"] > self.config.pose_termination
+            reward = jnp.where(off_pose, 0.0, reward)
+            done = jnp.maximum(done, off_pose.astype(jnp.float32))
         done = jnp.maximum(
             done, (t_in_episode >= self.config.max_episode_time).astype(jnp.float32)
         )

@@ -165,6 +165,7 @@ class MimicVecEnv:
         terms = {
             "reward_pose": r_pose, "reward_vel": r_vel, "reward_ee": r_ee,
             "reward_com": r_com, "pose_error": jnp.mean(joint_err, axis=1),
+            "root_err": root_rot,
         }
         return reward, terms
 
@@ -261,6 +262,7 @@ class MimicVecEnv:
                 lambda tt: reference_frame_index(self.clip, tt))(t0).astype(jnp.float32),
             "fall": zeros, "reward_pose": zeros, "reward_vel": zeros,
             "reward_ee": zeros, "reward_com": zeros, "pose_error": zeros,
+            "root_err": zeros,
         }
         return VecState(qpos=qpos, qvel=qvel, time=t0, episode_start=t0,
                         obs=obs, reward=zeros, done=zeros, metrics=metrics,
@@ -289,6 +291,10 @@ class MimicVecEnv:
         done = jnp.zeros_like(fall)
         if self.config.early_termination:
             done = jnp.maximum(done, fall)
+        if self.config.pose_termination > 0:
+            off_pose = (terms["root_err"] > self.config.pose_termination)
+            reward = jnp.where(off_pose, 0.0, reward)
+            done = jnp.maximum(done, off_pose.astype(done.dtype))
         done = jnp.maximum(
             done,
             (t - state.episode_start >= self.config.max_episode_time).astype(done.dtype),

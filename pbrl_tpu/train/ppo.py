@@ -353,6 +353,10 @@ def train(
                             opt_state=payload["opt_state"],
                             obs_stats=payload["obs_stats"],
                             env_steps=payload["env_steps"])
+    # Continue checkpoint numbering across resumed runs: orbax's
+    # latest_step() is max(step), so a resume that restarted at step 1
+    # would save checkpoints "older" than the one it restored.
+    it0 = int(jax.device_get(ts.env_steps)) // config.steps_per_iteration
 
     batch_sh = sharded_batch_spec(mesh)
     repl = replicated(mesh)
@@ -401,7 +405,7 @@ def train(
             progress_fn(it, last)
         if (checkpoint_dir and primary
                 and (call + 1) % max(1, checkpoint_every // steps_per_call) == 0):
-            ckpt.save(checkpoint_dir, ts, step=it + 1)
+            ckpt.save(checkpoint_dir, ts, step=it0 + it + 1)
     if checkpoint_dir and primary:
-        ckpt.save(checkpoint_dir, ts, step=config.num_iterations)
+        ckpt.save(checkpoint_dir, ts, step=it0 + config.num_iterations)
     return ts.params, ts.obs_stats, history
