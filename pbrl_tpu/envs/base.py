@@ -65,6 +65,12 @@ class EnvConfig:
     # aerial/landing segment of ballistic clips; negative toward earlier
     # (t0 = hi * u^(1-bias)).
     rsi_phase_bias: float = 0.0
+    # Gaussian noise added to RSI reset states (joint angles / all dof
+    # velocities). Nonzero values teach a funnel back onto the reference
+    # from slightly-off states — e.g. the state after a real backflip
+    # landing, which never exactly matches the reference restart.
+    rsi_noise_qpos: float = 0.0
+    rsi_noise_qvel: float = 0.0
     early_termination: bool = True      # terminate on fall
     # Terminate when the root-orientation error vs the reference exceeds
     # this many radians (0 = off). Kills the "stand still through the

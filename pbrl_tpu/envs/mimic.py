@@ -185,6 +185,13 @@ class MimicEnv(Env):
         else:
             t0 = jnp.zeros(())
         qpos, qvel = reference_state(self.clip, t0)
+        if self.config.rsi_noise_qpos > 0 or self.config.rsi_noise_qvel > 0:
+            kq, kv = jax.random.split(jax.random.fold_in(key, 1))
+            qpos = qpos.at[7:].add(
+                self.config.rsi_noise_qpos
+                * jax.random.normal(kq, (self.model.nq - 7,)))
+            qvel = qvel + (self.config.rsi_noise_qvel
+                           * jax.random.normal(kv, (self.model.nv,)))
         data = make_data(self.model, qpos=qpos, qvel=qvel).replace(
             time=jnp.asarray(t0, jnp.float32)
         )

@@ -255,6 +255,13 @@ class MimicVecEnv:
         else:
             t0 = jnp.zeros((B,))
         qpos, qvel = jax.vmap(lambda tt: reference_state(self.clip, tt))(t0)
+        if self.config.rsi_noise_qpos > 0 or self.config.rsi_noise_qvel > 0:
+            kq = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+            kv = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+            nq = jax.vmap(lambda k: jax.random.normal(k, (self.model.nq - 7,)))(kq)
+            nv = jax.vmap(lambda k: jax.random.normal(k, (self.model.nv,)))(kv)
+            qpos = qpos.at[:, 7:].add(self.config.rsi_noise_qpos * nq)
+            qvel = qvel + self.config.rsi_noise_qvel * nv
         obs = self._obs(qpos, qvel, t0)
         zeros = jnp.zeros((B,))
         metrics = {

@@ -31,3 +31,31 @@ _cache_dir = os.environ.get(
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
+
+# ---------------------------------------------------------------------------
+# Slow-test marking (VERDICT r1 #9): the ~11 compile-heavy env/train tests
+# (~2 min each on this box; the persistent cache cannot help because the
+# XLA:CPU AOT entries are machine-feature-pinned) are skipped by default so
+# `pytest -q` stays under 10 min; `pytest --runslow` runs the full pyramid.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full suite, ~30 min)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy test, skipped unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow (compile-heavy); use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -32,6 +32,7 @@ def test_cli_replay_dumps_trajectory(tmp_path, capsys):
     assert float(z["fps"]) == pytest.approx(60.0)
 
 
+@pytest.mark.slow
 def test_cli_train_smoke(capsys):
     rc = main([
         "train", "--clip", "walk", "--num-envs", "8", "--unroll-length", "4",

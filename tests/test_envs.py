@@ -111,6 +111,7 @@ def test_mimic_reset_matches_reference_pose(mimic):
     np.testing.assert_allclose(np.asarray(s.pipeline.qvel), np.asarray(v_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mimic_reward_near_max_on_reference(mimic):
     """Tracking the reference with Stable PD from the reference state keeps
     the imitation reward high for several policy steps."""
@@ -145,6 +146,7 @@ def test_mimic_reward_low_when_off_reference(mimic):
     assert float(r_bad) < 0.2 < float(r_good)
 
 
+@pytest.mark.slow
 def test_mimic_fall_terminates(model, walk):
     env = MimicEnv(model, walk, EnvConfig(reference_state_init=False))
     s = env.reset(jax.random.PRNGKey(0))
@@ -160,6 +162,7 @@ def test_mimic_fall_terminates(model, walk):
     assert float(jnp.max(falls)) == 1.0
 
 
+@pytest.mark.slow
 def test_mimic_nonloop_clip_ends(model):
     clip = augment_clip(model, load_clip("kick"))
     env = MimicEnv(model, clip, EnvConfig(reference_state_init=False,
@@ -175,6 +178,7 @@ def test_mimic_nonloop_clip_ends(model):
     assert float(dones[-1]) == 1.0
 
 
+@pytest.mark.slow
 def test_mimic_variant2_substeps(model, walk):
     cfg = variant2()
     assert cfg.n_substeps == 40
@@ -185,6 +189,7 @@ def test_mimic_variant2_substeps(model, walk):
         float(s.pipeline.time - s.info["episode_start"]), 1 / 30, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mimic_vmapped_batch(mimic):
     B = 4
     rngs = jax.random.split(jax.random.PRNGKey(0), B)
@@ -203,6 +208,7 @@ def test_ee_and_com_shapes(model, walk):
     assert 0.5 < com_z.min() and com_z.max() < 1.2
 
 
+@pytest.mark.slow
 def test_torque_action_mode(model, walk):
     env = MimicEnv(model, walk, EnvConfig(action_mode="torque"))
     s = env.reset(jax.random.PRNGKey(0))

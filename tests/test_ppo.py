@@ -191,6 +191,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_physics_env():
     """One SPMD train step over the REAL physics env (MimicVecEnv, 2
     substeps) on the 8-device CPU mesh — the suite-resident version of

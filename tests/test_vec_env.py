@@ -52,6 +52,7 @@ def test_reset_on_reference(model, venv):
     assert float(jnp.std(vs.time)) > 1e-3
 
 
+@pytest.mark.slow
 def test_step_matches_per_env_physics(model, walk, venv, vstep):
     """One vec policy step equals the per-env MimicEnv step (eager)."""
     env = MimicEnv(model, walk, CFG)
@@ -80,6 +81,7 @@ def test_step_matches_per_env_physics(model, walk, venv, vstep):
                                    np.asarray(s2.reward), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_step_advances_time_and_rewards(venv, vstep):
     B = 4
     vs = venv.reset(jax.random.split(jax.random.PRNGKey(2), B))
@@ -107,6 +109,7 @@ def test_auto_reset(venv):
     np.testing.assert_allclose(np.asarray(out.done), np.asarray(done))
 
 
+@pytest.mark.slow
 def test_ground_contact_rewarded_without_early_termination(model):
     """Regression: floor-contact tasks (getup) must keep their reward when
     early termination is off — the fall flag used to zero it everywhere."""
