@@ -144,6 +144,8 @@ def _restore_run(args):
     from pbrl_tpu.train.checkpoint import load_run_config
     from pbrl_tpu.utils.configio import dict_to_config
 
+    import dataclasses
+
     run = load_run_config(args.checkpoint_dir)
     if run is not None:
         env_cfg = (dict_to_config(EnvConfig, run["env_config"])
@@ -154,6 +156,10 @@ def _restore_run(args):
         env_cfg = EnvConfig()
         train_cfg = TrainConfig()
         clip = args.clip or "walk"
+    # Evaluation measures clean reference starts: training-time reset
+    # perturbations (RSI noise / phase curriculum) stay out of the metric.
+    env_cfg = dataclasses.replace(env_cfg, rsi_noise_qpos=0.0,
+                                  rsi_noise_qvel=0.0, rsi_phase_bias=0.0)
     env = MimicVecEnv(humanoid_model(), load_clip(clip), env_cfg)
     return env, train_cfg
 

@@ -780,18 +780,36 @@ def _contact_geometry(spec, slot, xpos, xquat, like, cache):
         cp = _closest_on_segment(e0, e1, p1)
         return sphere_sphere(p1, float(s1[0]), cp, float(s2[0])) + (None,)
     if k in ("boxcorner_box", "box_boxcorner"):
-        # one corner of box a probed against box b; normal emitted 1 -> 2
+        # One corner of box a probed against box b; normal emitted 1 -> 2.
+        # The 8+8 corner slots of one pair share both rotation matrices, so
+        # cache rows of R per geom instead of per-corner quaternion rotates
+        # (the corner offset is a compile-time constant: R @ c folds to 9
+        # scalar muls).
         sx, sy, sz = slot.extra
         if k == "boxcorner_box":
-            (pa, qa, sa), (pb, qb, sb) = ((p1, q1, s1), (p2, q2, s2))
+            (pa, qa, sa, ga), (pb, qb, sb, gb) = ((p1, q1, s1, slot.g1),
+                                                  (p2, q2, s2, slot.g2))
         else:
-            (pa, qa, sa), (pb, qb, sb) = ((p2, q2, s2), (p1, q1, s1))
+            (pa, qa, sa, ga), (pb, qb, sb, gb) = ((p2, q2, s2, slot.g2),
+                                                  (p1, q1, s1, slot.g1))
+
+        def rot_rows(g, q):
+            key = ("mat", g)
+            if key not in cache:
+                cache[key] = q_to_mat(q)
+            return cache[key]
+
+        ra = rot_rows(ga, qa)
+        rb = rot_rows(gb, qb)
         corner_l = (float(sa[0]) * sx, float(sa[1]) * sy, float(sa[2]) * sz)
-        cw = v3_add(pa, q_rotate(qa, v3_const(corner_l, like)))
-        pl_ = q_rotate_inv(qb, v3_sub(cw, pb))
+        cw = tuple(pa[i] + ra[i][0] * corner_l[0] + ra[i][1] * corner_l[1]
+                   + ra[i][2] * corner_l[2] for i in range(3))
+        rel = v3_sub(cw, pb)
+        pl_ = tuple(rb[0][i] * rel[0] + rb[1][i] * rel[1] + rb[2][i] * rel[2]
+                    for i in range(3))  # R_b^T (cw - pb)
         closest_l, n_l, d = _point_box(pl_, sb)
-        n_w = q_rotate(qb, n_l)  # box b -> corner of a
-        surf = v3_add(pb, q_rotate(qb, closest_l))
+        n_w = tuple(v3_dot(rb[i], n_l) for i in range(3))  # box b -> corner
+        surf = tuple(pb[i] + v3_dot(rb[i], closest_l) for i in range(3))
         pos = v3_add(surf, v3_scale(n_w, 0.5 * d))
         n = v3_scale(n_w, -1.0) if k == "boxcorner_box" else n_w
         return d, pos, n, None

@@ -221,3 +221,21 @@ def test_train_step_sharded_physics_env():
     assert np.isfinite(float(metrics["reward_mean"]))
     assert float(metrics["reward_mean"]) > 0.0  # RSI start: near-reference
     assert len(stepped.env_state.obs.sharding.device_set) == 8
+
+
+def test_resume_continues_checkpoint_numbering(tmp_path):
+    """A resumed run must save checkpoints numbered AFTER the restored one
+    (orbax latest_step is max(step); restarting at step 1 made resumed
+    checkpoints invisible — the r2 backflip polish run lost 500M steps of
+    training to this)."""
+    from pbrl_tpu.train import checkpoint as ckpt
+
+    env = MatchEnv()
+    cfg = _tiny_config(total_env_steps=16 * 8 * 10)
+    d = str(tmp_path / "run")
+    train(env, cfg, checkpoint_dir=d, checkpoint_every=5, steps_per_call=5)
+    first = ckpt.latest_step(d)
+    assert first == cfg.num_iterations
+    train(env, cfg, checkpoint_dir=d, checkpoint_every=5, steps_per_call=5)
+    second = ckpt.latest_step(d)
+    assert second == 2 * cfg.num_iterations, (first, second)
