@@ -70,3 +70,12 @@ def test_render_video_frames(tmp_path):
     assert frames.std() > 0  # not a blank screen
     out = save_video(str(tmp_path / "v.mp4"), frames, fps=30)
     assert os.path.exists(out)
+
+
+def test_save_video_gif_fallback(tmp_path):
+    """No ffmpeg in this image: save_video must fall back to an animated GIF
+    (viewable artifact), not just the npz frame dump."""
+    frames = (np.random.rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    out = save_video(str(tmp_path / "clip.mp4"), frames, fps=10)
+    assert out.endswith((".mp4", ".gif")), out
+    assert os.path.getsize(out) > 0
