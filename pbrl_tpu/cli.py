@@ -113,6 +113,23 @@ def cmd_train(args):
         gamma=args.gamma,
         seed=args.seed,
     )
+    if args.train_set:
+        import dataclasses
+
+        tfields = {f.name for f in dataclasses.fields(TrainConfig)}
+        overrides = {}
+        for kv in args.train_set:
+            k, _, v = kv.partition("=")
+            if k not in tfields:
+                raise SystemExit(f"--train-set: unknown TrainConfig field {k!r}")
+            cur = getattr(cfg, k)
+            if isinstance(cur, bool):
+                overrides[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, tuple):
+                overrides[k] = tuple(int(x) for x in v.split(","))
+            else:
+                overrides[k] = type(cur)(v)
+        cfg = dataclasses.replace(cfg, **overrides)
 
     def progress(it, metrics):
         print(json.dumps({"iteration": it, **{k: round(v, 5) if isinstance(v, float)
@@ -298,6 +315,10 @@ def build_parser():
                     metavar="FIELD=VALUE",
                     help="override any EnvConfig field (repeatable), e.g. "
                          "--env-set s_vel=0.02 --env-set w_vel=0.2")
+    sp.add_argument("--train-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override any TrainConfig field (repeatable), e.g. "
+                         "--train-set entropy_cost=0 --train-set hidden=512,256")
     sp.add_argument("--torque-scale", type=float, default=2.0,
                     help="torque envelope = gear * ctrlrange * this scale")
     sp.add_argument("--backend", default="auto",

@@ -29,11 +29,19 @@ class MLP(nn.Module):
 
 
 class PolicyNetwork(nn.Module):
-    """Gaussian policy: MLP mean + state-independent learnable log-std."""
+    """Gaussian policy: MLP mean + state-independent learnable log-std.
+
+    ``fixed_log_std=True`` freezes exploration at ``init_log_std`` (DeepMimic
+    used a small fixed std; precise skills like backflip suffer from the
+    learnable std's slow drift — it sits near 0.3 rad for hundreds of
+    millions of steps). The frozen value still lives in the param tree so
+    checkpoints stay structurally identical.
+    """
 
     action_size: int
     hidden: Sequence[int] = (1024, 512)
     init_log_std: float = -1.0
+    fixed_log_std: bool = False
 
     @nn.compact
     def __call__(self, obs):
@@ -41,6 +49,9 @@ class PolicyNetwork(nn.Module):
         log_std = self.param(
             "log_std", lambda k: jnp.full((self.action_size,), self.init_log_std)
         )
+        if self.fixed_log_std:
+            log_std = jax.lax.stop_gradient(
+                jnp.full_like(log_std, self.init_log_std))
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 
@@ -52,10 +63,13 @@ class ValueNetwork(nn.Module):
         return MLP(features=(*self.hidden, 1), name="torso")(obs)[..., 0]
 
 
-def init_params(rng, obs_size: int, action_size: int, hidden=(1024, 512)):
+def init_params(rng, obs_size: int, action_size: int, hidden=(1024, 512),
+                init_log_std: float = -1.0, fixed_log_std: bool = False):
     kp, kv = jax.random.split(rng)
     dummy = jnp.zeros((obs_size,))
-    policy = PolicyNetwork(action_size=action_size, hidden=hidden)
+    policy = PolicyNetwork(action_size=action_size, hidden=hidden,
+                           init_log_std=init_log_std,
+                           fixed_log_std=fixed_log_std)
     value = ValueNetwork(hidden=hidden)
     return {
         "policy": policy.init(kp, dummy),

@@ -51,6 +51,10 @@ class TrainConfig:
     total_env_steps: int = 10_000_000
     seed: int = 0
     reward_scale: float = 1.0
+    # Exploration std: exp(init_log_std) rad on the PD-target action.
+    # fixed_log_std freezes it there (DeepMimic-style small fixed noise).
+    init_log_std: float = -1.0
+    fixed_log_std: bool = False
 
     @property
     def steps_per_iteration(self) -> int:
@@ -104,7 +108,8 @@ def make_train_functions(env: Env, config: TrainConfig):
     fused physics kernel).
     """
     _, policy, value = networks.init_params(
-        jax.random.PRNGKey(0), env.observation_size, env.action_size, config.hidden
+        jax.random.PRNGKey(0), env.observation_size, env.action_size, config.hidden,
+        init_log_std=config.init_log_std, fixed_log_std=config.fixed_log_std,
     )
     if config.lr_decay:
         total_updates = (config.num_iterations * config.update_epochs
@@ -265,7 +270,8 @@ def make_train_functions(env: Env, config: TrainConfig):
     def init(rng) -> TrainState:
         rng, k_net, k_env = jax.random.split(rng, 3)
         params, _, _ = networks.init_params(
-            k_net, env.observation_size, env.action_size, config.hidden
+            k_net, env.observation_size, env.action_size, config.hidden,
+            init_log_std=config.init_log_std, fixed_log_std=config.fixed_log_std,
         )
         env_state = jax.jit(reset_batch)(jax.random.split(k_env, config.num_envs))
         return TrainState(
