@@ -349,6 +349,7 @@ def train(
 
         if primary:
             ckpt.save_run_config(checkpoint_dir, env, config)
+    it0 = 0
     if checkpoint_dir and resume:
         last = ckpt.latest_step(checkpoint_dir)
         if last is not None:
@@ -359,10 +360,11 @@ def train(
                             opt_state=payload["opt_state"],
                             obs_stats=payload["obs_stats"],
                             env_steps=payload["env_steps"])
-    # Continue checkpoint numbering across resumed runs: orbax's
-    # latest_step() is max(step), so a resume that restarted at step 1
-    # would save checkpoints "older" than the one it restored.
-    it0 = int(jax.device_get(ts.env_steps)) // config.steps_per_iteration
+            # Continue checkpoint numbering from the restored step: orbax's
+            # latest_step() is max(step), so saving anything lower makes the
+            # resumed run's checkpoints invisible (env_steps-derived numbers
+            # go backwards when num_envs/unroll_length change between runs).
+            it0 = int(last)
 
     batch_sh = sharded_batch_spec(mesh)
     repl = replicated(mesh)
