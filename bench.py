@@ -37,27 +37,40 @@ def _kernel_vs_xla_parity(model, clip):
 
     from pbrl_tpu.envs import EnvConfig, MimicVecEnv
 
-    cfg = EnvConfig(reference_state_init=True)
-    kenv = MimicVecEnv(model, clip, cfg, backend="kernel")
-    xenv = MimicVecEnv(model, clip, cfg, backend="xla")
     B = 256
-    rngs = jax.random.split(jax.random.PRNGKey(7), B)
-    ks = jax.jit(kenv.reset)(rngs)
-    xs = jax.jit(xenv.reset)(rngs)
-    act = jnp.zeros((B, kenv.action_size))
-    kstep = jax.jit(kenv.step)
-    xstep = jax.jit(xenv.step)
-    for _ in range(2):
-        ks = kstep(ks, act)
-        xs = xstep(xs, act)
-    dq = float(jnp.max(jnp.abs(ks.qpos - xs.qpos)))
-    dv = float(jnp.max(jnp.abs(ks.qvel - xs.qvel)))
-    dr = float(jnp.max(jnp.abs(ks.reward - xs.reward)))
-    print(f"[bench] kernel-vs-xla parity: |dq|={dq:.2e} |dv|={dv:.2e} "
-          f"|dreward|={dr:.2e}", file=sys.stderr)
-    assert np.isfinite(dq) and dq < 5e-3, f"kernel qpos diverged: {dq}"
-    assert np.isfinite(dv) and dv < 5e-2, f"kernel qvel diverged: {dv}"
-    assert np.isfinite(dr) and dr < 5e-2, f"kernel reward diverged: {dr}"
+    # Both kernel modes, over RSI-spread random phases pushed OFF the
+    # reference by reset noise (VERDICT r2 #6: round-2 asserted the PD mode
+    # on near-reference states only).
+    for mode_cfg in (
+        EnvConfig(reference_state_init=True,
+                  rsi_noise_qpos=0.05, rsi_noise_qvel=0.5),
+        EnvConfig(reference_state_init=True, action_mode="torque",
+                  rsi_noise_qpos=0.05, rsi_noise_qvel=0.5),
+    ):
+        kenv = MimicVecEnv(model, clip, mode_cfg, backend="kernel")
+        xenv = MimicVecEnv(model, clip, mode_cfg, backend="xla")
+        rngs = jax.random.split(jax.random.PRNGKey(7), B)
+        ks = jax.jit(kenv.reset)(rngs)
+        xs = jax.jit(xenv.reset)(rngs)
+        if mode_cfg.action_mode == "torque":
+            act = 20.0 * jnp.sin(jnp.arange(B * kenv.action_size)
+                                 ).reshape(B, kenv.action_size)
+        else:
+            act = jnp.zeros((B, kenv.action_size))
+        kstep = jax.jit(kenv.step)
+        xstep = jax.jit(xenv.step)
+        for _ in range(2):
+            ks = kstep(ks, act)
+            xs = xstep(xs, act)
+        dq = float(jnp.max(jnp.abs(ks.qpos - xs.qpos)))
+        dv = float(jnp.max(jnp.abs(ks.qvel - xs.qvel)))
+        dr = float(jnp.max(jnp.abs(ks.reward - xs.reward)))
+        print(f"[bench] kernel-vs-xla parity ({mode_cfg.action_mode}): "
+              f"|dq|={dq:.2e} |dv|={dv:.2e} |dreward|={dr:.2e}",
+              file=sys.stderr)
+        assert np.isfinite(dq) and dq < 5e-3, f"kernel qpos diverged: {dq}"
+        assert np.isfinite(dv) and dv < 5e-2, f"kernel qvel diverged: {dv}"
+        assert np.isfinite(dr) and dr < 5e-2, f"kernel reward diverged: {dr}"
 
 
 def main():
@@ -110,11 +123,26 @@ def main():
 
     steps_per_sec = NUM_ENVS * ITERS / dt
     per_chip = steps_per_sec / n_chips
+
+    # Observability (VERDICT r2 #7): static FLOPs/substep from the traced
+    # field program (jaxpr primitive count, ops/field_physics.count_substep_
+    # flops), so the headline number decomposes into substep rate x compute
+    # and a regression is attributable to either.
+    from pbrl_tpu.ops.field_physics import build_spec, count_substep_flops
+
+    n_sub = env.config.n_substeps
+    flops_sub = count_substep_flops(
+        build_spec(model, n_substeps=n_sub, mode="pd"))
+    substeps_per_sec = per_chip * n_sub
     print(json.dumps({
         "metric": "humanoid_mimic_env_steps_per_sec_per_chip_4096envs",
         "value": round(per_chip, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+        "substeps_per_sec_per_chip": round(substeps_per_sec, 1),
+        "flops_per_substep": flops_sub,
+        "achieved_gflops_per_chip": round(
+            substeps_per_sec * flops_sub / 1e9, 1),
     }))
 
 

@@ -100,8 +100,19 @@ def cmd_train(args):
             if k not in fields:
                 raise SystemExit(f"--env-set: unknown EnvConfig field {k!r}")
             cur = getattr(env_cfg, k)
-            overrides[k] = (type(cur)(v) if not isinstance(cur, bool)
-                            else v.lower() in ("1", "true", "yes"))
+            if isinstance(cur, bool):
+                overrides[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, tuple):
+                # e.g. --env-set aerial_window=0.27,0.5 or
+                # fall_contact_bodies=right_ankle,left_ankle ('' = empty)
+                def conv(x):
+                    try:
+                        return float(x)
+                    except ValueError:
+                        return x
+                overrides[k] = tuple(conv(x) for x in v.split(",") if x != "")
+            else:
+                overrides[k] = type(cur)(v)
         env_cfg = dataclasses.replace(env_cfg, **overrides)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)

@@ -11,10 +11,16 @@ fused VPU blocks over the env batch:
   ``|f_t| <= mu * f_n``;
 * limits:   one-sided spring-damper in joint space scaled by ``M[ii]``.
 
-``m_eff`` is the pairwise harmonic mean of body masses (world = infinite) — a
-deliberately cheap surrogate for ``1/(J M^-1 J^T)`` that keeps the hot loop
-matrix-free. Force application never materialises contact Jacobians: the
-generalized force is assembled with the ancestor-mask einsum
+``m_eff`` for ground (plane) contacts is the exact Delassus effective mass
+``1/(J M^-1 J^T)`` along the contact normal, recomputed every substep from
+the live configuration — the normal-direction error dynamics are then
+exactly the normalized ``-pen/tc^2 - 2 zeta vn / tc`` regardless of leg
+configuration, and a loaded foot settles ~mm instead of ~cm (the round-2
+parity transient, PARITY.md). Self-contacts keep the static pairwise
+harmonic mass surrogate (cheap; rarely active; same policy as the fused
+kernel so the engines stay differential-testable). Force application uses
+the same Jacobian row implicitly: the generalized force is assembled with
+the ancestor-mask einsum
 
     qfrc[i] = S_i . sum_c (anc[b2_c, i] - anc[b1_c, i]) * F_c
 
@@ -63,11 +69,27 @@ def contact_forces(model: Model, data: Data) -> Data:
     v_frame = jnp.einsum("cij,cj->ci", con.frame, vrel)
     vn, vt = v_frame[:, 0], v_frame[:, 1:]
 
-    # Effective mass (harmonic mean; world row appended as "infinite").
+    # Effective mass. Ground contacts: exact Delassus 1/(J M^-1 J^T) along
+    # the normal. J's row for unit normal force is exactly the force-mapping
+    # direction used below: J[c,i] = danc[c,i] * (S_i . [arm x n, n]), so
+    # w = ||L^-1 J^T||^2 with M = L L^T (only the forward solve is needed).
+    n_w = con.frame[:, 0, :]
+    f_hat = jnp.concatenate([jnp.cross(arm, n_w), n_w], axis=-1)  # (ncon, 6)
+    jrow = danc * jnp.einsum("ix,cx->ci", data.subspace, f_hat,
+                             precision=jax.lax.Precision.HIGHEST)
+    from pbrl_tpu.ops.linalg import _solve_lower, cholesky_factor
+
+    chol = cholesky_factor(data.qM)
+    y = _solve_lower(chol, jrow)  # (ncon, nv), broadcasts over the slot axis
+    w = jnp.sum(y * y, axis=-1)
+    m_delassus = 1.0 / jnp.maximum(w, 1e-6)
+
+    # Self-contacts: static pairwise harmonic mean (world row = "infinite").
     inv_mass = jnp.concatenate(
         [1.0 / jnp.maximum(model.body_mass, 1e-9), jnp.zeros(1, dtype=data.qvel.dtype)]
     )
-    m_eff = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
+    m_harmonic = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
+    m_eff = jnp.where(con.body1 < 0, m_delassus, m_harmonic)
 
     tc = jnp.maximum(model.option.contact_timeconst, 2.0 * model.option.timestep)
     zeta = model.option.contact_dampratio

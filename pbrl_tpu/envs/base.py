@@ -78,6 +78,38 @@ class EnvConfig:
     # not rotate with the reference ends instead of farming ground-phase
     # reward.
     pose_termination: float = 0.0
+    # Once an episode has survived one full clip cycle, switch to this
+    # (larger) root-error threshold instead of ``pose_termination`` (0 =
+    # unchanged). Lets the policy recover from an imperfect first landing
+    # instead of dying at the cycle-2 takeoff
+    # (docs/BACKFLIP_EXPERIMENTS.md idea 3).
+    pose_termination_after_cycle: float = 0.0
+    # -- aerial-phase reward shaping (ballistic clips) --
+    # ``(phase_lo, phase_hi)`` flight window in [0, 1); empty = off. Inside
+    # the window the reward is re-weighted toward root orientation +
+    # root angular velocity: the mid-air tuck pose is only loosely
+    # trackable and its gradient drowns out the rotation signal that
+    # actually decides whether the flip lands
+    # (docs/BACKFLIP_EXPERIMENTS.md idea 1).
+    aerial_window: tuple = ()
+    aerial_w_pose: float = 0.2
+    aerial_w_root: float = 0.35
+    aerial_w_angvel: float = 0.25
+    aerial_w_com: float = 0.2
+    aerial_s_root: float = 2.0          # exp(-s * root_rot_err^2)
+    aerial_s_angvel: float = 0.02       # exp(-s * |root_angvel_err|^2)
+    aerial_edge: float = 0.03           # smooth blend width (phase units)
+    # -- takeoff-state curriculum (MimicVecEnv only) --
+    # On auto-reset, with this probability a finished env restarts from the
+    # CURRENT state of a random alive peer env instead of from the
+    # reference (state-distribution matching,
+    # docs/BACKFLIP_EXPERIMENTS.md idea 2) — trains continuation from
+    # policy-visited states (e.g. the post-landing crouch) that on-
+    # reference RSI never samples.
+    curriculum_reset_prob: float = 0.0
+    # Optional ``(phase_lo, phase_hi)`` filter: only peers whose clip phase
+    # is inside the window are adopted (e.g. the landing->takeoff segment).
+    curriculum_phase_window: tuple = ()
     fall_contact_bodies: tuple = ()     # body names allowed to touch ground
     max_episode_time: float = 10.0
     # -- observation --

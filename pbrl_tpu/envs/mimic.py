@@ -73,10 +73,17 @@ class MimicEnv(Env):
 
         self.gains = gains or default_gains()
         self.actuator_mask = actuator_mask
+        if actuator_mask is not None:
+            mk = jnp.asarray(actuator_mask).astype(self.gains.kp.dtype)
+            self._masked_gains = ctrl.Gains(kp=self.gains.kp * mk,
+                                            kd=self.gains.kd * mk)
+        else:
+            self._masked_gains = self.gains
         allowed = config.fall_contact_bodies or ("right_ankle", "left_ankle")
         self._fall_mask = task.fall_mask(model, allowed)
         self._qposadr = jnp.asarray(model.actuator_qposadr, jnp.int32)
         self._dofadr = jnp.asarray(model.actuator_dofadr, jnp.int32)
+        self._act_jnt = jnp.asarray(model.actuator_jntid(), jnp.int32)
 
     # -- sizes ------------------------------------------------------------
     @property
@@ -112,29 +119,35 @@ class MimicEnv(Env):
             raise ValueError(f"unknown action_mode {mode!r}")
         if not self.config.enforce_joint_limits:
             return target
-        lo = self.model.jnt_range[:, 0]
-        hi = self.model.jnt_range[:, 1]
-        # actuator i drives joint i+1 (joint 0 is the free root)
-        return jnp.clip(target, lo[1:], hi[1:])
+        rng = self.model.jnt_range[self._act_jnt]  # (nu, 2) actuator order
+        return jnp.clip(target, rng[:, 0], rng[:, 1])
 
-    def _torque_fn(self, target):
-        """qfrc callback evaluated inside each physics substep."""
+    def _torque_fn(self, target, explicit_only: bool = False):
+        """qfrc callback evaluated inside each physics substep.
+
+        ``explicit_only`` forces a plain-torque return even for the fused
+        implicit controller — needed by the held-torque path
+        (``pd_per_substep=False``), which must evaluate ONE torque vector
+        from the pre-step state and hold it (reference semantics,
+        ``agent_mimic.py:220-228``); the implicit form has no standalone
+        torque to hold.
+        """
 
         def qfrc(model, data):
             name = self.config.controller
-            if name == "implicit_pd" and self.actuator_mask is None:
+            if name == "implicit_pd" and not explicit_only:
                 # Fused Stable PD: explicit part + kd on the integrator
-                # diagonal; no second Cholesky (see control/pd.py).
+                # diagonal; no second Cholesky (see control/pd.py). An
+                # actuator mask folds into the gains: zero kp/kd means zero
+                # explicit torque AND zero implicit diagonal.
                 return ctrl.implicit_pd(
-                    model, data, target, self.gains,
+                    model, data, target, self._masked_gains,
                     clamp_scale=self.config.torque_limit_scale)
             if name == "standard_pd":
                 tau = ctrl.standard_pd(model, data, target, self.gains)
             elif name == "inverse_dynamics_pd":
                 tau = ctrl.inverse_dynamics_pd(model, data, target, self.gains)
-            elif name == "implicit_pd":  # masked: fall back to explicit SPD
-                tau = ctrl.stable_pd(model, data, target, self.gains)
-            else:
+            else:  # stable_pd, or implicit_pd in explicit (held) form
                 tau = ctrl.stable_pd(model, data, target, self.gains)
             tau = ctrl.clamp_torque(model, tau, self.config.torque_limit_scale)
             if self.actuator_mask is not None:
@@ -163,6 +176,20 @@ class MimicEnv(Env):
         r_com = jnp.exp(-c.s_com * jnp.sum((com - com_ref) ** 2))
 
         reward = c.w_pose * r_pose + c.w_vel * r_vel + c.w_ee * r_ee + c.w_com * r_com
+        if c.aerial_window:
+            # Flight-phase re-weighting toward root rotation + angular
+            # velocity (same blend as MimicVecEnv._reward_batch).
+            lo, hi = c.aerial_window
+            ph = phase(self.clip, data.time)
+            edge = max(c.aerial_edge, 1e-6)
+            win = (jnp.clip((ph - lo) / edge, 0.0, 1.0)
+                   * jnp.clip((hi - ph) / edge, 0.0, 1.0))
+            r_root = jnp.exp(-c.aerial_s_root * root_rot_err**2)
+            dw = data.qvel[3:6] - qvel_ref[3:6]
+            r_angvel = jnp.exp(-c.aerial_s_angvel * jnp.sum(dw**2))
+            aerial = (c.aerial_w_pose * r_pose + c.aerial_w_root * r_root
+                      + c.aerial_w_angvel * r_angvel + c.aerial_w_com * r_com)
+            reward = (1.0 - win) * reward + win * aerial
         # terminal-step zeroing only when falls terminate (see vec.py)
         if c.early_termination:
             reward = jnp.where(fall, 0.0, reward)
@@ -181,7 +208,15 @@ class MimicEnv(Env):
         rng, key = jax.random.split(rng)
         if self.config.reference_state_init:
             hi = self.clip.cycle_time if self.clip.loop else 0.9 * self.clip.cycle_time
-            t0 = jax.random.uniform(key, (), minval=0.0, maxval=hi)
+            u = jax.random.uniform(key, ())
+            # Same phase curriculum as MimicVecEnv.reset (advisor round 2:
+            # the two envs must draw from the same RSI distribution).
+            bias = self.config.rsi_phase_bias
+            if bias > 0:
+                u = u ** (1.0 / (1.0 + bias))
+            elif bias < 0:
+                u = u ** (1.0 - bias)
+            t0 = hi * u
         else:
             t0 = jnp.zeros(())
         qpos, qvel = reference_state(self.clip, t0)
@@ -216,6 +251,8 @@ class MimicEnv(Env):
         if self.config.action_mode == "torque":
             tau = ctrl.clamp_torque(self.model, action,
                                     self.config.torque_limit_scale)
+            if self.actuator_mask is not None:
+                tau = ctrl.masked_torque(tau, self.actuator_mask)
 
             def qfrc_fn(model, d, tau=tau):
                 return ctrl.torque_to_qfrc(model, tau)
@@ -225,12 +262,14 @@ class MimicEnv(Env):
             qfrc_fn = self._torque_fn(target)
 
         n = self.config.n_substeps
-        if self.config.pd_per_substep:
+        if self.config.action_mode == "torque" or self.config.pd_per_substep:
             data = step_n(self.model, data, n, qfrc_fn=qfrc_fn)
         else:
-            # Reference semantics: one torque computed per policy step, held.
+            # Reference semantics: one torque computed per policy step from
+            # the pre-step state, held for all substeps
+            # (``agent_mimic.py:220-228``).
             d0 = forward_smooth(self.model, data)
-            held = qfrc_fn(self.model, d0)
+            held = self._torque_fn(target, explicit_only=True)(self.model, d0)
             data = step_n(self.model, data, n, qfrc_fn=lambda m, d: held)
         data = run_kinematics(self.model, data)
 
@@ -242,7 +281,11 @@ class MimicEnv(Env):
         if self.config.early_termination:
             done = jnp.maximum(done, fall.astype(jnp.float32))
         if self.config.pose_termination > 0:
-            off_pose = terms["root_err"] > self.config.pose_termination
+            thr = jnp.asarray(self.config.pose_termination)
+            if self.config.pose_termination_after_cycle > 0:
+                thr = jnp.where(t_in_episode >= self.clip.cycle_time,
+                                self.config.pose_termination_after_cycle, thr)
+            off_pose = terms["root_err"] > thr
             reward = jnp.where(off_pose, 0.0, reward)
             done = jnp.maximum(done, off_pose.astype(jnp.float32))
         done = jnp.maximum(

@@ -61,6 +61,7 @@ class MimicVecEnv:
         config: EnvConfig = EnvConfig(),
         gains=None,
         backend: str = "auto",
+        actuator_mask=None,
     ):
         model = model.replace(
             option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
@@ -71,6 +72,20 @@ class MimicVecEnv:
         self.config = config
         self.clip = clip if clip.ee_pos is not None else task.augment_clip(model, clip)
         self.gains = gains or default_gains()
+        self.actuator_mask = actuator_mask
+        if actuator_mask is not None:
+            mk = jnp.asarray(actuator_mask).astype(self.gains.kp.dtype)
+            self._mask = mk
+            # For the implicit-PD law an actuator mask folds into the gains:
+            # zero kp/kd = zero explicit torque and zero implicit diagonal
+            # (reference masked-joint step variants, agent_mimic.py:94-190).
+            from pbrl_tpu.control.pd import Gains
+
+            self._masked_gains = Gains(kp=self.gains.kp * mk,
+                                       kd=self.gains.kd * mk)
+        else:
+            self._mask = None
+            self._masked_gains = self.gains
         if backend == "auto":
             backend = "kernel" if jax.default_backend() not in ("cpu",) else "xla"
         self.backend = backend
@@ -78,8 +93,19 @@ class MimicVecEnv:
         self._allowed = allowed
         self._qposadr = jnp.asarray(model.actuator_qposadr, jnp.int32)
         self._dofadr = jnp.asarray(model.actuator_dofadr, jnp.int32)
+        self._act_jnt = jnp.asarray(model.actuator_jntid(), jnp.int32)
 
         mode = "torque" if config.action_mode == "torque" else "pd"
+        # Held-torque semantics (pd_per_substep=False, the reference's
+        # once-per-policy-step PD, agent_mimic.py:220-228): the torque is
+        # evaluated in XLA from the pre-step state and the kernel runs in
+        # its torque mode.
+        self._held_pd = (mode == "pd" and not config.pd_per_substep)
+        if self._held_pd and config.controller not in ("implicit_pd",
+                                                       "stable_pd"):
+            raise ValueError(
+                "pd_per_substep=False currently implements the Stable-PD "
+                f"law; use pd_per_substep=True for {config.controller!r}")
         if backend == "kernel":
             if config.controller not in ("implicit_pd", "stable_pd"):
                 raise ValueError(
@@ -87,9 +113,11 @@ class MimicVecEnv:
                     f"backend='xla' for {config.controller!r}")
             from pbrl_tpu.ops.mimic_kernel import build_mimic_step
 
+            kmode = "torque" if self._held_pd else mode
             self._kstep, self._kspec = build_mimic_step(
-                model, kp=np.asarray(self.gains.kp), kd=np.asarray(self.gains.kd),
-                n_substeps=config.n_substeps, mode=mode,
+                model, kp=np.asarray(self._masked_gains.kp),
+                kd=np.asarray(self._masked_gains.kd),
+                n_substeps=config.n_substeps, mode=kmode,
                 fall_allowed_bodies=allowed,
                 torque_scale=config.torque_limit_scale,
             )
@@ -157,6 +185,20 @@ class MimicVecEnv:
 
         reward = (c.w_pose * r_pose + c.w_vel * r_vel + c.w_ee * r_ee
                   + c.w_com * r_com)
+        if c.aerial_window:
+            # Flight-phase re-weighting: blend toward a root-rotation +
+            # root-angular-velocity reward inside the window.
+            lo, hi = c.aerial_window
+            ph = jax.vmap(lambda tt: phase(self.clip, tt))(t)
+            edge = max(c.aerial_edge, 1e-6)
+            win = (jnp.clip((ph - lo) / edge, 0.0, 1.0)
+                   * jnp.clip((hi - ph) / edge, 0.0, 1.0))
+            r_root = jnp.exp(-c.aerial_s_root * root_rot**2)
+            dw = qvel[:, 3:6] - v_ref[:, 3:6]
+            r_angvel = jnp.exp(-c.aerial_s_angvel * jnp.sum(dw**2, axis=1))
+            aerial = (c.aerial_w_pose * r_pose + c.aerial_w_root * r_root
+                      + c.aerial_w_angvel * r_angvel + c.aerial_w_com * r_com)
+            reward = (1.0 - win) * reward + win * aerial
         # DeepMimic zeroes the terminal step's reward — only meaningful when
         # falls actually terminate; for floor-contact tasks (getup) ground
         # touches are part of the motion and must stay rewarded.
@@ -183,19 +225,38 @@ class MimicVecEnv:
             action = q_ref[:, self._qposadr] + action
         if not self.config.enforce_joint_limits:
             return action
-        lo = self.model.jnt_range[1:, 0]
-        hi = self.model.jnt_range[1:, 1]
-        return jnp.clip(action, lo[None], hi[None])
+        rng = self.model.jnt_range[self._act_jnt]  # (nu, 2) actuator order
+        return jnp.clip(action, rng[None, :, 0], rng[None, :, 1])
 
     # ------------------------------------------------------------------
+    def _held_tau(self, qpos, qvel, target):
+        """One Stable-PD torque per env from the pre-step state (the
+        reference's per-policy-step PD, ``agent_mimic.py:220-228``)."""
+        from pbrl_tpu.control import clamp_torque, masked_torque, stable_pd
+        from pbrl_tpu.engine.forward import forward_smooth
+
+        m = self.model
+
+        def one(q, v, uu):
+            d = forward_smooth(m, make_data(m, qpos=q, qvel=v))
+            tau = clamp_torque(m, stable_pd(m, d, uu, self.gains),
+                               self.config.torque_limit_scale)
+            if self._mask is not None:
+                tau = masked_torque(tau, self._mask)
+            return tau
+
+        return jax.vmap(one)(qpos, qvel, target)
+
     def _physics(self, qpos, qvel, u):
         """(qpos', qvel', xpos, xquat, fall) via kernel or XLA fallback."""
+        if self._held_pd:
+            u = self._held_tau(qpos, qvel, u)
         if self.backend == "kernel":
             return self._kstep(qpos, qvel, u)
 
         m = self.model
-        gains = self.gains
-        mode = self._mode
+        gains = self._masked_gains
+        mode = "torque" if self._held_pd else self._mode
         n = self.config.n_substeps
         from pbrl_tpu.control import clamp_torque, implicit_pd, torque_to_qfrc
 
@@ -211,17 +272,24 @@ class MimicVecEnv:
                         clamp_scale=self.config.torque_limit_scale)
                 else:
                     from pbrl_tpu.control import (inverse_dynamics_pd,
-                                                  standard_pd)
+                                                  masked_torque, standard_pd)
 
                     law = (standard_pd if ctrl_name == "standard_pd"
                            else inverse_dynamics_pd)
 
                     def qfrc_fn(mm, dd, law=law):
-                        tau = clamp_torque(mm, law(mm, dd, uu, gains))
+                        tau = clamp_torque(mm, law(mm, dd, uu, self.gains),
+                                           self.config.torque_limit_scale)
+                        if self._mask is not None:
+                            tau = masked_torque(tau, self._mask)
                         return torque_to_qfrc(mm, tau)
 
             else:
                 tau = clamp_torque(m, uu, self.config.torque_limit_scale)
+                if self._mask is not None:
+                    from pbrl_tpu.control import masked_torque
+
+                    tau = masked_torque(tau, self._mask)
                 qfrc_fn = lambda mm, dd, tau=tau: torque_to_qfrc(mm, tau)
 
             def sub(dd, _):
@@ -276,8 +344,10 @@ class MimicVecEnv:
                         rng=rngs)
 
     def step(self, state: VecState, action: jnp.ndarray) -> VecState:
-        u = (action if self.config.action_mode == "torque"
-             else self._target(state.qpos, state.time, action))
+        if self.config.action_mode == "torque":
+            u = action if self._mask is None else action * self._mask[None]
+        else:
+            u = self._target(state.qpos, state.time, action)
         qpos, qvel, xpos, xquat, fall = self._physics(state.qpos, state.qvel, u)
         t = state.time + self.config.n_substeps * self.config.physics_dt
 
@@ -299,7 +369,13 @@ class MimicVecEnv:
         if self.config.early_termination:
             done = jnp.maximum(done, fall)
         if self.config.pose_termination > 0:
-            off_pose = (terms["root_err"] > self.config.pose_termination)
+            thr = jnp.full_like(t, self.config.pose_termination)
+            if self.config.pose_termination_after_cycle > 0:
+                survived_cycle = (t - state.episode_start
+                                  >= self.clip.cycle_time)
+                thr = jnp.where(survived_cycle,
+                                self.config.pose_termination_after_cycle, thr)
+            off_pose = terms["root_err"] > thr
             reward = jnp.where(off_pose, 0.0, reward)
             done = jnp.maximum(done, off_pose.astype(done.dtype))
         done = jnp.maximum(
@@ -321,6 +397,34 @@ class MimicVecEnv:
     def auto_reset(self, state: VecState, rngs: jnp.ndarray) -> VecState:
         """Re-initialise envs where done=1 (keeps finished-step reward/done)."""
         fresh = self.reset(rngs)
+        p = self.config.curriculum_reset_prob
+        if p > 0:
+            # Takeoff-state curriculum: with probability p restart from the
+            # current state of a random alive peer (optionally filtered to a
+            # clip-phase window) instead of from the reference.
+            B = state.done.shape[0]
+            alive = state.done == 0
+            if self.config.curriculum_phase_window:
+                lo, hi = self.config.curriculum_phase_window
+                ph = jax.vmap(lambda tt: phase(self.clip, tt))(state.time)
+                ok = alive & (ph >= lo) & (ph <= hi)
+            else:
+                ok = alive
+            logits = jnp.where(ok, 0.0, -1e9)
+            u = jax.vmap(
+                lambda k: jax.random.uniform(jax.random.fold_in(k, 7), ()))(rngs)
+            peer = jax.vmap(
+                lambda k: jax.random.categorical(
+                    jax.random.fold_in(k, 8), logits))(rngs)
+            # ok[peer] guards the all-masked case (categorical degenerates).
+            use = (u < p) & ok[peer]
+            qpos0 = jnp.where(use[:, None], state.qpos[peer], fresh.qpos)
+            qvel0 = jnp.where(use[:, None], state.qvel[peer], fresh.qvel)
+            t0 = jnp.where(use, state.time[peer], fresh.time)
+            es0 = jnp.where(use, state.time[peer], fresh.episode_start)
+            fresh = fresh.replace(qpos=qpos0, qvel=qvel0, time=t0,
+                                  episode_start=es0,
+                                  obs=self._obs(qpos0, qvel0, t0))
         d = state.done.astype(bool)
 
         def sel(a, b):

@@ -45,21 +45,66 @@ class MotionClip:
     name: str = struct.field(pytree_node=False, default="clip")
 
 
+def _np_slerp(q0: np.ndarray, q1: np.ndarray, alpha: float) -> np.ndarray:
+    """Host-side f64 quaternion slerp (wxyz) for clip resampling."""
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    d = min(d, 1.0)
+    theta = np.arccos(d)
+    if theta < 1e-8:
+        out = q0 + alpha * (q1 - q0)
+    else:
+        s = np.sin(theta)
+        out = (np.sin((1 - alpha) * theta) * q0 + np.sin(alpha * theta) * q1) / s
+    return out / np.linalg.norm(out)
+
+
+def resample_uniform(p: ParsedClip) -> ParsedClip:
+    """Resample a non-uniform-dt clip to the median frame interval.
+
+    Subsumes the reference's ``duration_dict`` per-frame-dt generality
+    (``utils/SimpleConverter.py:226-238``) into the uniform grid the
+    device-side ``t/dt`` lookup requires: linear interpolation on qpos/qvel
+    (joint eulers are branch-continuous by construction, mocap/convert.py)
+    with the root quaternion slerped on the manifold.
+    """
+    inter = np.asarray(p.durations[:-1], np.float64)
+    dt = float(np.median(inter))
+    T_new = int(np.floor(p.total_time / dt + 1e-9)) + 1
+    ct = p.cum_time  # (T,) cumulative start times
+    qpos = np.empty((T_new, p.qpos.shape[1]))
+    qvel = np.empty((T_new, p.qvel.shape[1]))
+    for k in range(T_new):
+        t = min(k * dt, p.total_time - 1e-9)
+        i = int(np.searchsorted(ct, t, side="right")) - 1
+        i = min(max(i, 0), len(ct) - 1)
+        if i >= len(ct) - 1:
+            qpos[k], qvel[k] = p.qpos[-1], p.qvel[-1]
+            continue
+        a = (t - ct[i]) / max(float(p.durations[i]), 1e-12)
+        a = min(max(a, 0.0), 1.0)
+        qpos[k] = p.qpos[i] + a * (p.qpos[i + 1] - p.qpos[i])
+        qpos[k, 3:7] = _np_slerp(p.qpos[i, 3:7], p.qpos[i + 1, 3:7], a)
+        qvel[k] = p.qvel[i] + a * (p.qvel[i + 1] - p.qvel[i])
+    durations = np.full(T_new, dt)
+    durations[-1] = 0.0  # DeepMimic convention: last frame closes the clip
+    out = ParsedClip(qpos, qvel, durations, loop=p.loop, source=p.source)
+    # preserve the true cycle length (sum of new durations may differ by <dt)
+    out.total_time = (T_new - 1) * dt
+    return out
+
+
 def from_parsed(p: ParsedClip, name: str = "clip", dtype=jnp.float32) -> MotionClip:
     # Device-side lookup assumes uniform frame spacing (index = t/dt). The
     # parser faithfully records per-frame ``durations`` (the reference's
-    # ``duration_dict`` generality, SimpleConverter.py:226-238); verify the
-    # assumption instead of silently narrowing it. DeepMimic files store the
+    # ``duration_dict`` generality, SimpleConverter.py:226-238); non-uniform
+    # clips are resampled to a uniform grid. DeepMimic files store the
     # interval *to the next frame*, so the final frame's duration (0 in all
     # bundled clips) is excluded from the check.
     inter = np.asarray(p.durations[:-1], np.float64)
     if inter.size and not np.allclose(inter, inter[0], rtol=1e-5, atol=1e-9):
-        raise ValueError(
-            f"clip {name!r} ({p.source}) has non-uniform frame durations "
-            f"(min {inter.min():.6g}, max {inter.max():.6g}); "
-            "MotionClip's t/dt indexing requires uniform spacing — resample "
-            "the clip to a fixed dt first"
-        )
+        p = resample_uniform(p)
     offset = p.qpos[-1, :3] - p.qpos[0, :3]
     offset[2] = 0.0  # vertical displacement never accumulates
     return MotionClip(

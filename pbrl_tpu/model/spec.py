@@ -263,6 +263,17 @@ class Model:
     def site_id(self, name: str) -> int:
         return self.site_names.index(name)
 
+    def actuator_jntid(self) -> Tuple[int, ...]:
+        """Joint driven by each actuator (matched by qpos address).
+
+        Envs must index ``jnt_range`` through this instead of assuming
+        actuator i drives joint i+1 — true for the built-in humanoid but
+        silently wrong for models whose actuator order differs from joint
+        order (advisor/VERDICT round 2).
+        """
+        qmap = {qa: j for j, qa in enumerate(self.jnt_qposadr)}
+        return tuple(qmap[qa] for qa in self.actuator_qposadr)
+
     @property
     def dt(self):
         return self.option.timestep

@@ -214,7 +214,8 @@ class _ContactSlot:
     body1: int         # -1 = world
     body2: int
     friction: float
-    m_eff: float       # static harmonic-mean effective mass
+    m_eff: float       # static harmonic-mean effective mass (self-contact
+                       # surrogate; ground slots use the live Delassus mass)
     extra: tuple = ()  # kind-specific static params (e.g. cap end, corner signs)
     fall: bool = False # counts as a fall contact when active
 
@@ -860,8 +861,50 @@ def _contact_geometry(spec, slot, xpos, xquat, like, cache):
     raise ValueError(f"slot kind {k}")
 
 
-def _contact_forces(spec, xpos, xquat, cvel, origin, like):
-    """Streamed contacts: per-body spatial force accumulators + fall flag."""
+def _chain_dofs(spec, b):
+    """Static ancestor dof chain of body b (ascending dof order)."""
+    out = []
+    while b != -1:
+        out = spec.body_dofs[b] + out
+        b = spec.bodies[b].parent
+    return out
+
+
+def _delassus_inv_mass(spec, L0, S, body, f_hat):
+    """w = J M^-1 J^T for a world-vs-``body`` contact with unit spatial
+    force ``f_hat`` about the origin.
+
+    J[i] = S_i . f_hat over body's ancestor chain; with M = L L^T the
+    scalar Delassus entry is w = ||L^-1 J^T||^2 — only the FORWARD
+    triangular solve is needed, and on a tree factor the solution keeps
+    J's support (eliminating a dof only couples its own ancestors), so
+    everything stays on the ~13-dof root path.
+    """
+    n = spec.nv
+    r = lambda a: n - 1 - a  # reversed-space index (leaves first)
+    supp = _chain_dofs(spec, body)
+    rows = {i: sp_dot(S[i], f_hat) for i in supp}
+    y = {}
+    for i in sorted(supp, key=r):  # distal dofs eliminate first
+        acc = rows[i]
+        for j in supp:
+            if r(j) < r(i) and L0[r(i)][r(j)] is not None:
+                acc = acc - L0[r(i)][r(j)] * y[j]
+        y[i] = acc / L0[r(i)][r(i)]
+    w = None
+    for i in supp:
+        w = y[i] * y[i] if w is None else w + y[i] * y[i]
+    return w
+
+
+def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
+    """Streamed contacts: per-body spatial force accumulators + fall flag.
+
+    With ``S``/``L0`` (motion subspace + plain-M tree factor) given, ground
+    slots use the exact per-substep Delassus effective mass along the
+    normal (matches ``engine/solver.py``); self-contact slots keep the
+    static harmonic-mean surrogate.
+    """
     zero = jnp.zeros_like(like)
     facc = [[zero] * 6 for _ in range(spec.nbody)]
     fall = zero
@@ -897,13 +940,21 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like):
             vt1 = v3_dot(t1, vrel)
             vt2 = v3_dot(t2, vrel)
 
+        if (S is not None and slot.body1 < 0
+                and slot.kind.startswith("plane")):
+            f_hat = v3_cross(arm, n) + n  # unit spatial force about origin
+            w = _delassus_inv_mass(spec, L0, S, slot.body2, f_hat)
+            m_eff = 1.0 / jnp.maximum(w, 1e-6)
+        else:
+            m_eff = slot.m_eff
+
         active = dist < 0.0
         pen = jnp.minimum(dist, 0.0)
-        fn = slot.m_eff * (-kstiff * pen - bdamp * vn)
+        fn = m_eff * (-kstiff * pen - bdamp * vn)
         fn = jnp.where(active, jnp.maximum(fn, 0.0), 0.0)
 
         if with_friction:
-            ft_scale = -slot.m_eff * (2.0 / tc)
+            ft_scale = -m_eff * (2.0 / tc)
             f1r, f2r = ft_scale * vt1, ft_scale * vt2
             ft_norm = jnp.sqrt(jnp.maximum(f1r * f1r + f2r * f2r, 1e-18))
             cone = slot.friction * fn
@@ -932,15 +983,16 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like):
 # ---------------- dense solve ---------------------------------------------
 
 
-def _solve(spec, M, lhs_extra_diag, rhs):
-    """Sparse tree Cholesky solve on the field dict M (+diag), rhs list.
+def _factor(spec, M, lhs_extra_diag):
+    """Sparse tree Cholesky factor of the field dict M (+diag).
 
     The mass matrix of a kinematic tree is nonzero only for ancestor pairs.
     Eliminating LEAVES FIRST (reverse dof order — MuJoCo's mj_factorM trick)
     produces zero fill-in: eliminating a leaf column only couples its own
     ancestors, which are already mutually coupled. We therefore run a
     standard Cholesky in reversed index space; the structural pattern is
-    exactly ``spec.m_pairs``.
+    exactly ``spec.m_pairs``. Returns L as a 2-D list in reversed space
+    (``L[r(i)][r(j)]``; None = structurally zero).
     """
     n = spec.nv
     r = lambda a: n - 1 - a  # reversed-space <-> dof index
@@ -953,6 +1005,7 @@ def _solve(spec, M, lhs_extra_diag, rhs):
     for i in range(n):
         A[r(i)][r(i)] = M[(i, i)] + lhs_extra_diag[i]
 
+    like = A[0][0]
     # verify no fill-in would occur (debug-grade symbolic check is implicit:
     # an update to a structurally-zero entry raises below).
     L = [[None] * n for _ in range(n)]
@@ -968,11 +1021,19 @@ def _solve(spec, M, lhs_extra_diag, rhs):
                 if A[kk][i] is None:
                     # tree ordering guarantees this never happens; guard for
                     # exotic models (would need symbolic fill).
-                    A[kk][i] = jnp.zeros_like(rhs[0])
+                    A[kk][i] = jnp.zeros_like(like)
                     A[i][kk] = A[kk][i]
                 A[kk][i] = A[kk][i] - L[kk][j] * L[i][j]
                 if kk != i:
                     A[i][kk] = A[kk][i]
+    return L
+
+
+def _solve(spec, M, lhs_extra_diag, rhs):
+    """Factor + solve in one call (see :func:`_factor`)."""
+    n = spec.nv
+    r = lambda a: n - 1 - a
+    L = _factor(spec, M, lhs_extra_diag)
 
     rrev = [rhs[n - 1 - a] for a in range(n)]
     # forward: L y = rhs_rev
@@ -1008,7 +1069,11 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List):
     inertias = _spatial_inertias(spec, xpos, xquat, origin)
     M = _crba(spec, S, inertias)
     bias = _rnea_bias(spec, S, cvel, inertias, qvel)
-    facc, fall = _contact_forces(spec, xpos, xquat, cvel, origin, like)
+    # Plain-M factor for the Delassus contact masses (the acceleration solve
+    # below refactors with the implicit diagonal folded in).
+    L0 = _factor(spec, M, [0.0] * spec.nv)
+    facc, fall = _contact_forces(spec, xpos, xquat, cvel, origin, like,
+                                 S=S, L0=L0)
 
     # subtree force sums -> constraint qfrc
     for b in range(spec.nbody - 1, -1, -1):
@@ -1077,3 +1142,33 @@ def fk_outputs(spec: SubstepSpec, qpos: List):
     """Final-pose FK rows for reward computation: (xpos, xquat per body)."""
     xpos, xquat, _, _ = _fk(spec, qpos)
     return xpos, xquat
+
+
+_FLOP_PRIMS = {
+    "add": 1, "sub": 1, "mul": 1, "div": 1, "neg": 1, "abs": 1,
+    "max": 1, "min": 1, "sqrt": 2, "rsqrt": 2, "sign": 1,
+    "integer_pow": 1, "sin": 4, "cos": 4, "exp": 4, "log": 4,
+    "select_n": 1, "clamp": 2,
+}
+
+
+def count_substep_flops(spec: SubstepSpec) -> int:
+    """Exact FLOPs of ONE field-program substep for one env lane.
+
+    Traces :func:`substep` with scalar fields and counts arithmetic
+    primitives in the jaxpr (each eqn touches one scalar). This is the
+    static per-substep compute of the fused kernel (the kernel adds only
+    the final FK outputs on top), used by ``bench.py`` to report achieved
+    FLOP/s so perf regressions are attributable (VERDICT r2 #7).
+    """
+    like = jnp.zeros(())
+
+    def f(qpos, qvel, u):
+        return substep(spec, list(qpos), list(qvel), list(u))
+
+    jaxpr = jax.make_jaxpr(f)(
+        [like] * spec.nq, [like] * spec.nv, [like] * max(spec.nu, 1))
+    flops = 0
+    for eqn in jaxpr.jaxpr.eqns:
+        flops += _FLOP_PRIMS.get(eqn.primitive.name, 0)
+    return flops

@@ -31,11 +31,15 @@ class MLP(nn.Module):
 class PolicyNetwork(nn.Module):
     """Gaussian policy: MLP mean + state-independent learnable log-std.
 
-    ``fixed_log_std=True`` freezes exploration at ``init_log_std`` (DeepMimic
-    used a small fixed std; precise skills like backflip suffer from the
-    learnable std's slow drift — it sits near 0.3 rad for hundreds of
-    millions of steps). The frozen value still lives in the param tree so
-    checkpoints stay structurally identical.
+    ``fixed_log_std=True`` freezes exploration at the ``log_std`` param's
+    current value — ``init_log_std`` on a fresh run, the restored value when
+    resuming a checkpoint (advisor round 2: overriding a restored learned
+    std with ``init_log_std`` silently discarded it). DeepMimic used a small
+    fixed std; precise skills like backflip suffer from the learnable std's
+    slow drift — it sits near 0.3 rad for hundreds of millions of steps. To
+    *change* the exploration level of a resumed run, edit the restored
+    ``log_std`` param (``pbrl train --train-set init_log_std=...`` only
+    affects fresh runs).
     """
 
     action_size: int
@@ -50,8 +54,7 @@ class PolicyNetwork(nn.Module):
             "log_std", lambda k: jnp.full((self.action_size,), self.init_log_std)
         )
         if self.fixed_log_std:
-            log_std = jax.lax.stop_gradient(
-                jnp.full_like(log_std, self.init_log_std))
+            log_std = jax.lax.stop_gradient(log_std)
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 

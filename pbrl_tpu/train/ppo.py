@@ -52,7 +52,9 @@ class TrainConfig:
     seed: int = 0
     reward_scale: float = 1.0
     # Exploration std: exp(init_log_std) rad on the PD-target action.
-    # fixed_log_std freezes it there (DeepMimic-style small fixed noise).
+    # fixed_log_std freezes the std at the param's current value — the init
+    # on fresh runs, the restored value when resuming (DeepMimic-style
+    # small fixed noise; see train/networks.py:PolicyNetwork).
     init_log_std: float = -1.0
     fixed_log_std: bool = False
 

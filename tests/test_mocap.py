@@ -175,20 +175,35 @@ def test_unknown_clip_errors():
     assert "walk" in str(e.value)  # lists available clips
 
 
-def test_nonuniform_dt_rejected():
-    """MotionClip's t/dt indexing requires uniform frame spacing; a clip with
-    varying durations must be rejected loudly, not silently mis-indexed."""
+def test_nonuniform_dt_resampled():
+    """A clip with varying frame durations is resampled onto a uniform grid
+    (the reference's ``duration_dict`` per-frame-dt generality,
+    SimpleConverter.py:226-238) instead of mis-indexed or rejected."""
     import json
+
+    import numpy as np
 
     from pbrl_tpu.mocap.clip import from_parsed
 
     with open(_clip_path("walk")) as f:
         data = json.load(f)
-    data["Frames"] = data["Frames"][:5]
+    data["Frames"] = data["Frames"][:6]
     data["Frames"][2][0] = 2.0 * data["Frames"][0][0]  # stretch one interval
     p = parse_deepmimic(json.dumps(data))
-    with pytest.raises(ValueError, match="non-uniform"):
-        from_parsed(p, name="synthetic")
-    # All bundled clips pass the guard.
+    total = p.total_time
+    clip = from_parsed(p, name="synthetic")
+    # uniform grid at the median interval, same overall duration (within dt)
+    dt = float(clip.dt)
+    assert abs(dt - np.median(np.asarray(p.durations[:-1]))) < 1e-6
+    assert abs(float(clip.cycle_time) - (clip.num_frames - 1) * dt) < 1e-6
+    assert abs(float(clip.cycle_time) - total) < dt
+    # resampled poses track the originals at the original frame times
+    t2 = float(p.cum_time[2])  # original frame 2 start time
+    q_at, _ = reference_state(clip, jnp.asarray(t2))
+    np.testing.assert_allclose(np.asarray(q_at), p.qpos[2], atol=5e-3)
+    # root quat stays normalised everywhere
+    norms = np.linalg.norm(np.asarray(clip.qpos[:, 3:7]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # All bundled clips are uniform and load unchanged.
     for name in CLIP_FACTS:
         load_clip(name)

@@ -173,3 +173,169 @@ def test_rsi_phase_bias_shifts_resets(model, walk):
     assert abs(float(t_uniform.mean()) - 0.5 * hi) < 0.05 * hi
     assert float(t_late.mean()) > 0.65 * hi
     assert float(t_late.max()) <= hi
+
+
+def _batch_kinematics(model, qpos, qvel):
+    """xpos/xquat for a (B, nq) batch via the einsum engine's FK."""
+    from pbrl_tpu.engine.data import make_data
+    from pbrl_tpu.engine.kinematics import kinematics as run_kinematics
+
+    def one(q, v):
+        d = run_kinematics(model, make_data(model, qpos=q, qvel=v))
+        return d.xpos, d.xquat
+
+    return jax.vmap(one)(qpos, qvel)
+
+
+def test_aerial_window_reweights_reward(model, walk):
+    """Inside the flight window, joint-pose error is down-weighted and root
+    rotation/angular velocity dominate (docs/BACKFLIP_EXPERIMENTS.md idea 1)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, aerial_window=(0.25, 0.55))
+    venv_win = MimicVecEnv(model, walk, cfg, backend="xla")
+    venv_plain = MimicVecEnv(model, walk, CFG, backend="xla")
+
+    # state at mid-window phase with joints badly off but root exact
+    t = jnp.asarray([0.4 * float(walk.cycle_time)])
+    qpos, qvel = jax.vmap(lambda tt: reference_state(walk, tt))(t)
+    qpos_bad = qpos.at[:, 7:].add(0.6)  # wreck the joint pose only
+    xpos, xquat = _batch_kinematics(model, qpos_bad, qvel)
+    fall = jnp.zeros((1,))
+    r_win, _ = venv_win._reward_batch(qpos_bad, qvel, t, xpos, xquat, fall)
+    r_plain, _ = venv_plain._reward_batch(qpos_bad, qvel, t, xpos, xquat, fall)
+    assert float(r_win[0]) > float(r_plain[0]) + 0.1
+
+    # outside the window the two configs agree exactly
+    t2 = jnp.asarray([0.05 * float(walk.cycle_time)])
+    qpos2, qvel2 = jax.vmap(lambda tt: reference_state(walk, tt))(t2)
+    xpos2, xquat2 = _batch_kinematics(model, qpos2, qvel2)
+    r1, _ = venv_win._reward_batch(qpos2, qvel2, t2, xpos2, xquat2, fall)
+    r2, _ = venv_plain._reward_batch(qpos2, qvel2, t2, xpos2, xquat2, fall)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
+
+    # perfect tracking mid-window still scores ~1 (aerial weights sum to 1)
+    xp3, xq3 = _batch_kinematics(model, qpos, qvel)
+    r3, _ = venv_win._reward_batch(qpos, qvel, t, xp3, xq3, fall)
+    assert float(r3[0]) > 0.95
+
+
+def test_curriculum_reset_adopts_peer_states(model, walk):
+    """curriculum_reset_prob=1: done envs restart from alive peers' states."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, curriculum_reset_prob=1.0)
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    B = 8
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(5), B))
+    done = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    vs = vs.replace(done=done)
+    out = venv.auto_reset(vs, jax.random.split(jax.random.PRNGKey(6), B))
+    times = np.asarray(vs.time)
+    for i in range(4):
+        t_i = float(out.time[i])
+        close = np.flatnonzero(np.isclose(times, t_i, atol=1e-6))
+        assert close.size and close.min() >= 4, (t_i, times)  # an alive peer
+        j = int(close[0])
+        np.testing.assert_allclose(np.asarray(out.qpos[i]),
+                                   np.asarray(vs.qpos[j]), atol=1e-6)
+        # episode clock restarts at the adopted time
+        np.testing.assert_allclose(float(out.episode_start[i]), t_i, atol=1e-5)
+    # alive envs are untouched
+    np.testing.assert_allclose(np.asarray(out.qpos[4:]),
+                               np.asarray(vs.qpos[4:]), atol=0)
+
+
+def test_curriculum_phase_window_filters_peers(model, walk):
+    """With a phase window, only peers inside the window are adopted."""
+    import dataclasses
+
+    hi = float(walk.cycle_time)
+    cfg = dataclasses.replace(CFG, curriculum_reset_prob=1.0,
+                              curriculum_phase_window=(0.55, 0.65))
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    B = 8
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(8), B))
+    # put exactly one alive env inside the window
+    times = jnp.asarray([0.1, 0.2, 0.3, 0.4, 0.6, 0.1, 0.2, 0.3]) * hi
+    vs = vs.replace(time=times,
+                    done=jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]))
+    out = venv.auto_reset(vs, jax.random.split(jax.random.PRNGKey(9), B))
+    for i in range(4):
+        np.testing.assert_allclose(float(out.time[i]), 0.6 * hi, atol=1e-5)
+
+
+def test_pose_termination_relaxes_after_cycle(model, walk):
+    """After one survived cycle the relaxed root-error threshold applies."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, pose_termination=0.5,
+                              pose_termination_after_cycle=2.0)
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(10), 2))
+    # pitch the root ~1 rad off the reference: between the two thresholds
+    from pbrl_tpu.maths import quaternion as quat
+
+    dq = quat.from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(1.0))
+    q_off = jax.vmap(lambda q: quat.mul(dq, q))(vs.qpos[:, 3:7])
+    qpos = vs.qpos.at[:, 3:7].set(q_off)
+    # env 0: fresh episode; env 1: already survived one cycle
+    es = jnp.asarray([vs.time[0], vs.time[1] - 1.01 * float(walk.cycle_time)])
+    vs = vs.replace(qpos=qpos, episode_start=es)
+    q_ref = jax.vmap(lambda t: reference_state(
+        venv.clip, t + venv.config.policy_dt)[0])(vs.time)
+    out = jax.jit(venv.step)(vs, q_ref[:, venv._qposadr])
+    assert float(out.metrics["root_err"][0]) > 0.5
+    assert float(out.done[0]) == 1.0   # fresh episode: strict threshold
+    assert float(out.done[1]) == 0.0   # survived a cycle: relaxed
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["held_pd", "masked"])
+def test_vec_matches_per_env_semantics(model, walk, variant):
+    """MimicVecEnv(backend='xla') == MimicEnv for the reference step
+    variants round 2 left vec-unsupported: held torque (pd_per_substep=
+    False, agent_mimic.py:220-228) and masked-joint control
+    (agent_mimic.py:94-190)."""
+    import dataclasses
+
+    from pbrl_tpu.engine.data import make_data
+    from pbrl_tpu.engine.kinematics import kinematics
+    from pbrl_tpu.envs.base import State
+
+    if variant == "held_pd":
+        cfg = dataclasses.replace(CFG, pd_per_substep=False)
+        mask = None
+    else:
+        cfg = CFG
+        mask = jnp.asarray([1.0] * 10 + [0.0] * (model.nu - 10))
+    venv = MimicVecEnv(model, walk, cfg, backend="xla", actuator_mask=mask)
+    env = MimicEnv(model, walk, cfg, actuator_mask=mask)
+    B = 2
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(12), B))
+    action = jnp.tile(jnp.asarray(np.linspace(-0.2, 0.2, model.nu),
+                                  jnp.float32), (B, 1))
+    vs2 = jax.jit(venv.step)(vs, action)
+    for i in range(B):
+        data = make_data(env.model, qpos=vs.qpos[i], qvel=vs.qvel[i])
+        data = data.replace(time=vs.time[i])
+        data = kinematics(env.model, data)
+        s = State(pipeline=data, obs=vs.obs[i], reward=jnp.zeros(()),
+                  done=jnp.zeros(()), metrics={},
+                  info={"rng": jax.random.PRNGKey(0),
+                        "episode_start": vs.time[i]})
+        s2 = env.step(s, action[i])
+        np.testing.assert_allclose(np.asarray(vs2.qpos[i]),
+                                   np.asarray(s2.pipeline.qpos), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(vs2.reward[i]),
+                                   np.asarray(s2.reward), atol=2e-3)
+
+
+def test_held_pd_rejects_unsupported_controller(model, walk):
+    import dataclasses
+
+    with pytest.raises(ValueError):
+        MimicVecEnv(model, walk,
+                    dataclasses.replace(CFG, pd_per_substep=False,
+                                        controller="standard_pd"),
+                    backend="xla")
