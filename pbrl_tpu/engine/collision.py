@@ -34,7 +34,10 @@ from pbrl_tpu.maths import quaternion as quat
 from pbrl_tpu.model.spec import GeomType, Model
 from pbrl_tpu.engine.data import Contact, Data
 
-_BOX_CORNERS_PER_CONTACT = 4  # deepest corners kept per box-plane pair
+# All 8 corners per box-plane pair (matches the field/kernel program; the
+# round-2 deepest-4 top-k diverged from the kernel whenever >4 corners
+# penetrated, e.g. a flat deep foot under RSI reset noise).
+_BOX_CORNERS_PER_CONTACT = 8
 
 
 def _pair_groups(model: Model):
@@ -241,13 +244,10 @@ def collide(model: Model, data: Data) -> Data:
             )  # (8, 3)
             cl = corners_l[None, :, :] * half[:, None, :]
             cw = opos[:, None, :] + quat.rotate(oquat[:, None, :], cl)  # (n, 8, 3)
-            h = jnp.sum(n[:, None, :] * (cw - ppos[:, None, :]), axis=-1)  # (n, 8)
-            k = _BOX_CORNERS_PER_CONTACT
-            neg_top, idx = jax.lax.top_k(-h, k)  # deepest k corners
-            dist = -neg_top
-            sel = jnp.take_along_axis(cw, idx[..., None], axis=1)  # (n, k, 3)
-            pos = sel - n[:, None, :] * (0.5 * dist)[..., None]
-            emit(dist, pos, jnp.broadcast_to(n[:, None, :], sel.shape), cfric, cmarg, body1, body2, per=k)
+            dist = jnp.sum(n[:, None, :] * (cw - ppos[:, None, :]), axis=-1)  # (n, 8)
+            pos = cw - n[:, None, :] * (0.5 * dist)[..., None]
+            emit(dist, pos, jnp.broadcast_to(n[:, None, :], cw.shape), cfric,
+                 cmarg, body1, body2, per=8)
         else:
             raise NotImplementedError(f"plane vs geom type {t}")
 

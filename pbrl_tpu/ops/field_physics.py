@@ -16,9 +16,8 @@ the same math is a single launch of straight-line VPU code over 1024-env
 tiles.
 
 Parity: differential-tested against ``pbrl_tpu.engine`` (itself validated
-against CPU MuJoCo). One deliberate divergence: box-plane contacts emit all
-8 corners instead of the engine's deepest-4 (static top-k is pointless
-inside the kernel; extra corners are inactive slots).
+against CPU MuJoCo). Both emit all 8 corners per box-plane pair (the
+engine's round-2 deepest-4 top-k diverged whenever >4 corners penetrated).
 """
 
 from __future__ import annotations

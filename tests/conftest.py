@@ -19,7 +19,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PBRL_TEST_TPU=1 leaves the real backend attached so the on-hardware
+# Mosaic kernel checks (tests/test_kernel_tpu.py) can run:
+#   PBRL_TEST_TPU=1 pytest tests/test_kernel_tpu.py -q
+if os.environ.get("PBRL_TEST_TPU", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite jits hundreds of programs (the
 # vmapped physics engine alone is ~50k ops); without a cache every pytest
@@ -50,6 +54,9 @@ def pytest_addoption(parser):
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: compile-heavy test, skipped unless --runslow")
+    config.addinivalue_line(
+        "markers", "runtpu: needs a real TPU (self-skips on the CPU-pinned "
+        "default suite; run with PBRL_TEST_TPU=1)")
 
 
 def pytest_collection_modifyitems(config, items):
