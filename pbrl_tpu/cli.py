@@ -184,10 +184,15 @@ def _restore_run(args):
         env_cfg = EnvConfig()
         train_cfg = TrainConfig()
         clip = args.clip or "walk"
-    # Evaluation measures clean reference starts: training-time reset
-    # perturbations (RSI noise / phase curriculum) stay out of the metric.
+    # Evaluation measures clean reference starts and the STANDARD DeepMimic
+    # reward: training-time reset perturbations (RSI noise / phase or
+    # takeoff-state curricula) and training-only reward shaping (the aerial
+    # window) stay out of the metric, so eval numbers are comparable across
+    # recipes and to the oracle parity harness.
     env_cfg = dataclasses.replace(env_cfg, rsi_noise_qpos=0.0,
-                                  rsi_noise_qvel=0.0, rsi_phase_bias=0.0)
+                                  rsi_noise_qvel=0.0, rsi_phase_bias=0.0,
+                                  curriculum_reset_prob=0.0,
+                                  aerial_window=())
     env = MimicVecEnv(humanoid_model(), load_clip(clip), env_cfg)
     return env, train_cfg
 

@@ -115,6 +115,13 @@ class EnvConfig:
     # -- observation --
     exclude_root_xy: bool = True        # translation-invariant obs
     include_phase: bool = True
+    # Append the reference-relative root offset (ref_xy(t) - xy, rotated
+    # into the root's heading frame; 2 dims). With exclude_root_xy the
+    # policy is blind to accumulated horizontal drift vs the reference and
+    # cannot correct it even in principle — measured 0.2-0.3 m/cycle on
+    # backflip, costing ~0.15 reward through the EE/COM terms. This feature
+    # restores observability while keeping the obs translation-invariant.
+    include_ref_root_offset: bool = False
     # -- action --
     # "absolute": action = PD target angles in radians (reference semantics,
     #             ``agent_mimic.py:58-91`` where the action IS the target);

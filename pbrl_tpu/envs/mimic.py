@@ -93,6 +93,8 @@ class MimicEnv(Env):
             n -= 2
         if self.config.include_phase:
             n += 1
+        if self.config.include_ref_root_offset:
+            n += 2
         return n
 
     @property
@@ -105,6 +107,15 @@ class MimicEnv(Env):
         parts = [qpos, data.qvel]
         if self.config.include_phase:
             parts.append(phase(self.clip, data.time)[None])
+        if self.config.include_ref_root_offset:
+            q_ref, _ = reference_state(self.clip, data.time)
+            d = q_ref[:2] - data.qpos[:2]
+            w, x, y, z = data.qpos[3:7]
+            yaw = jnp.arctan2(2.0 * (w * z + x * y),
+                              1.0 - 2.0 * (y * y + z * z))
+            c, s = jnp.cos(yaw), jnp.sin(yaw)
+            parts.append(jnp.stack([c * d[0] + s * d[1],
+                                    -s * d[0] + c * d[1]]))
         return jnp.concatenate(parts)
 
     def _target(self, data, action) -> jnp.ndarray:

@@ -140,6 +140,8 @@ class MimicVecEnv:
             n -= 2
         if self.config.include_phase:
             n += 1
+        if self.config.include_ref_root_offset:
+            n += 2
         return n
 
     @property
@@ -151,6 +153,18 @@ class MimicVecEnv:
         parts = [qpos[:, 2:] if self.config.exclude_root_xy else qpos, qvel]
         if self.config.include_phase:
             parts.append(jax.vmap(lambda tt: phase(self.clip, tt))(t)[:, None])
+        if self.config.include_ref_root_offset:
+            q_ref, _ = jax.vmap(lambda tt: reference_state(self.clip, tt))(t)
+            d = q_ref[:, :2] - qpos[:, :2]
+            # rotate into the root heading (yaw) frame: translation- and
+            # heading-invariant drift signal
+            w, x, y, z = (qpos[:, 3], qpos[:, 4], qpos[:, 5], qpos[:, 6])
+            yaw = jnp.arctan2(2.0 * (w * z + x * y),
+                              1.0 - 2.0 * (y * y + z * z))
+            c, s = jnp.cos(yaw), jnp.sin(yaw)
+            parts.append(jnp.stack(
+                [c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]],
+                axis=1))
         return jnp.concatenate(parts, axis=1)
 
     def _reward_batch(self, qpos, qvel, t, xpos, xquat, fall):

@@ -55,8 +55,13 @@ class TrainConfig:
     # fixed_log_std freezes the std at the param's current value — the init
     # on fresh runs, the restored value when resuming (DeepMimic-style
     # small fixed noise; see train/networks.py:PolicyNetwork).
+    # reset_log_std explicitly overwrites a RESTORED log_std with
+    # init_log_std (e.g. fine-tuning at a deliberately small std after a
+    # learnable-std run let it drift) — the explicit form of what
+    # fixed_log_std used to do silently (advisor round 2).
     init_log_std: float = -1.0
     fixed_log_std: bool = False
+    reset_log_std: bool = False
 
     @property
     def steps_per_iteration(self) -> int:
@@ -358,7 +363,15 @@ def train(
             target = {"params": ts.params, "opt_state": ts.opt_state,
                       "obs_stats": ts.obs_stats, "env_steps": ts.env_steps}
             payload = ckpt.restore(checkpoint_dir, last, target=target)
-            ts = ts.replace(params=payload["params"],
+            params = payload["params"]
+            if config.reset_log_std:
+                pol = dict(params["policy"])
+                inner = dict(pol["params"])
+                inner["log_std"] = jnp.full_like(
+                    inner["log_std"], config.init_log_std)
+                pol["params"] = inner
+                params = {**params, "policy": pol}
+            ts = ts.replace(params=params,
                             opt_state=payload["opt_state"],
                             obs_stats=payload["obs_stats"],
                             env_steps=payload["env_steps"])

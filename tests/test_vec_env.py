@@ -339,3 +339,23 @@ def test_held_pd_rejects_unsupported_controller(model, walk):
                     dataclasses.replace(CFG, pd_per_substep=False,
                                         controller="standard_pd"),
                     backend="xla")
+
+
+def test_ref_root_offset_obs(model, walk):
+    """include_ref_root_offset appends the heading-frame drift signal: zero
+    on-reference, and equal to the xy offset when the env is displaced."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, include_ref_root_offset=True)
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    assert venv.observation_size == MimicVecEnv(model, walk, CFG,
+                                                backend="xla").observation_size + 2
+    B = 2
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(13), B))
+    # on-reference reset: offset ~ 0
+    np.testing.assert_allclose(np.asarray(vs.obs[:, -2:]), 0.0, atol=1e-4)
+    # displace env 0 by (0.3, -0.2): offset must reflect it (walk faces +x,
+    # root yaw ~ 0, so heading frame ~ world frame)
+    qpos = vs.qpos.at[0, 0].add(-0.3).at[0, 1].add(0.2)
+    obs = venv._obs(qpos, vs.qvel, vs.time)
+    np.testing.assert_allclose(np.asarray(obs[0, -2:]), [0.3, -0.2], atol=0.05)
