@@ -110,6 +110,11 @@ class EnvConfig:
     # Optional ``(phase_lo, phase_hi)`` filter: only peers whose clip phase
     # is inside the window are adopted (e.g. the landing->takeoff segment).
     curriculum_phase_window: tuple = ()
+    # Translate adopted states' root x/y onto the reference track at the
+    # adopted time. The pose/velocity distribution is what the curriculum
+    # is matching; inheriting the peer's ACCUMULATED drift just scales its
+    # EE/COM reward toward zero and starves the continuation of gradient.
+    curriculum_recenter_xy: bool = True
     fall_contact_bodies: tuple = ()     # body names allowed to touch ground
     max_episode_time: float = 10.0
     # -- observation --

@@ -432,7 +432,12 @@ class MimicVecEnv:
                     jax.random.fold_in(k, 8), logits))(rngs)
             # ok[peer] guards the all-masked case (categorical degenerates).
             use = (u < p) & ok[peer]
-            qpos0 = jnp.where(use[:, None], state.qpos[peer], fresh.qpos)
+            peer_qpos = state.qpos[peer]
+            if self.config.curriculum_recenter_xy:
+                ref_q, _ = jax.vmap(
+                    lambda tt: reference_state(self.clip, tt))(state.time[peer])
+                peer_qpos = peer_qpos.at[:, :2].set(ref_q[:, :2])
+            qpos0 = jnp.where(use[:, None], peer_qpos, fresh.qpos)
             qvel0 = jnp.where(use[:, None], state.qvel[peer], fresh.qvel)
             t0 = jnp.where(use, state.time[peer], fresh.time)
             es0 = jnp.where(use, state.time[peer], fresh.episode_start)
