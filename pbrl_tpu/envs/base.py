@@ -127,6 +127,14 @@ class EnvConfig:
     # backflip, costing ~0.15 reward through the EE/COM terms. This feature
     # restores observability while keeping the obs translation-invariant.
     include_ref_root_offset: bool = False
+    # Append DeepMimic-style link-state features: per-body position
+    # (root-relative, heading-frame) + orientation (heading-normalized
+    # quaternion) — 7 * nbody dims. Joint angles alone make the policy
+    # infer the fast cartesian state of distal links through the whole
+    # kinematic chain; link states observe it directly (DeepMimic's 197-dim
+    # humanoid obs is exactly this family). Costs one FK per reset (the
+    # step reuses the physics FK outputs).
+    include_link_obs: bool = False
     # -- action --
     # "absolute": action = PD target angles in radians (reference semantics,
     #             ``agent_mimic.py:58-91`` where the action IS the target);

@@ -95,6 +95,8 @@ class MimicEnv(Env):
             n += 1
         if self.config.include_ref_root_offset:
             n += 2
+        if self.config.include_link_obs:
+            n += 7 * self.model.nbody
         return n
 
     @property
@@ -107,15 +109,30 @@ class MimicEnv(Env):
         parts = [qpos, data.qvel]
         if self.config.include_phase:
             parts.append(phase(self.clip, data.time)[None])
-        if self.config.include_ref_root_offset:
-            q_ref, _ = reference_state(self.clip, data.time)
-            d = q_ref[:2] - data.qpos[:2]
+        need_heading = (self.config.include_ref_root_offset
+                        or self.config.include_link_obs)
+        if need_heading:
             w, x, y, z = data.qpos[3:7]
             yaw = jnp.arctan2(2.0 * (w * z + x * y),
                               1.0 - 2.0 * (y * y + z * z))
             c, s = jnp.cos(yaw), jnp.sin(yaw)
+        if self.config.include_ref_root_offset:
+            q_ref, _ = reference_state(self.clip, data.time)
+            d = q_ref[:2] - data.qpos[:2]
             parts.append(jnp.stack([c * d[0] + s * d[1],
                                     -s * d[0] + c * d[1]]))
+        if self.config.include_link_obs:
+            from pbrl_tpu.maths import quaternion as quat
+
+            rel = data.xpos - data.qpos[None, :3]
+            rx = c * rel[:, 0] + s * rel[:, 1]
+            ry = -s * rel[:, 0] + c * rel[:, 1]
+            h = 0.5 * yaw
+            qh_inv = jnp.stack([jnp.cos(h), jnp.zeros_like(h),
+                                jnp.zeros_like(h), -jnp.sin(h)])
+            qrel = quat.mul(qh_inv[None, :], data.xquat)
+            parts.append(jnp.concatenate(
+                [rx, ry, rel[:, 2], qrel.reshape(-1)]))
         return jnp.concatenate(parts)
 
     def _target(self, data, action) -> jnp.ndarray:

@@ -142,6 +142,8 @@ class MimicVecEnv:
             n += 1
         if self.config.include_ref_root_offset:
             n += 2
+        if self.config.include_link_obs:
+            n += 7 * self.model.nbody
         return n
 
     @property
@@ -149,22 +151,49 @@ class MimicVecEnv:
         return self.model.nu
 
     # ------------------------------------------------------------------
-    def _obs(self, qpos, qvel, t):
+    def _fk_batch(self, qpos, qvel):
+        """Body frames via the einsum engine's FK (resets only; the hot
+        step path reuses the physics kernel's FK outputs)."""
+
+        def one(q, v):
+            d = run_kinematics(self.model, make_data(self.model, qpos=q, qvel=v))
+            return d.xpos, d.xquat
+
+        return jax.vmap(one)(qpos, qvel)
+
+    def _obs(self, qpos, qvel, t, xpos=None, xquat=None):
         parts = [qpos[:, 2:] if self.config.exclude_root_xy else qpos, qvel]
         if self.config.include_phase:
             parts.append(jax.vmap(lambda tt: phase(self.clip, tt))(t)[:, None])
+        need_heading = (self.config.include_ref_root_offset
+                        or self.config.include_link_obs)
+        if need_heading:
+            w, x, y, z = (qpos[:, 3], qpos[:, 4], qpos[:, 5], qpos[:, 6])
+            yaw = jnp.arctan2(2.0 * (w * z + x * y),
+                              1.0 - 2.0 * (y * y + z * z))
+            c, s = jnp.cos(yaw), jnp.sin(yaw)
         if self.config.include_ref_root_offset:
             q_ref, _ = jax.vmap(lambda tt: reference_state(self.clip, tt))(t)
             d = q_ref[:, :2] - qpos[:, :2]
             # rotate into the root heading (yaw) frame: translation- and
             # heading-invariant drift signal
-            w, x, y, z = (qpos[:, 3], qpos[:, 4], qpos[:, 5], qpos[:, 6])
-            yaw = jnp.arctan2(2.0 * (w * z + x * y),
-                              1.0 - 2.0 * (y * y + z * z))
-            c, s = jnp.cos(yaw), jnp.sin(yaw)
             parts.append(jnp.stack(
                 [c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]],
                 axis=1))
+        if self.config.include_link_obs:
+            if xpos is None:
+                xpos, xquat = self._fk_batch(qpos, qvel)
+            rel = xpos - qpos[:, None, :3]
+            rx = c[:, None] * rel[..., 0] + s[:, None] * rel[..., 1]
+            ry = -s[:, None] * rel[..., 0] + c[:, None] * rel[..., 1]
+            # heading-normalized orientations: q_yaw^-1 * xquat
+            h = 0.5 * yaw
+            qh_inv = jnp.stack([jnp.cos(h), jnp.zeros_like(h),
+                                jnp.zeros_like(h), -jnp.sin(h)], axis=1)
+            qrel = quat.mul(qh_inv[:, None, :], xquat)
+            B = qpos.shape[0]
+            parts.append(jnp.concatenate(
+                [rx, ry, rel[..., 2], qrel.reshape(B, -1)], axis=1))
         return jnp.concatenate(parts, axis=1)
 
     def _reward_batch(self, qpos, qvel, t, xpos, xquat, fall):
@@ -377,6 +406,7 @@ class MimicVecEnv:
         xquat = jnp.where(jnp.isfinite(xquat), xquat, 1.0)
         fall = jnp.maximum(fall, bad.astype(fall.dtype))
 
+        obs = self._obs(qpos, qvel, t, xpos=xpos, xquat=xquat)
         reward, terms = self._reward_batch(qpos, qvel, t, xpos, xquat, fall)
         reward = jnp.where(bad, 0.0, jnp.nan_to_num(reward))
         done = jnp.zeros_like(fall)
@@ -405,7 +435,7 @@ class MimicVecEnv:
             **terms,
         }
         return state.replace(qpos=qpos, qvel=qvel, time=t,
-                             obs=self._obs(qpos, qvel, t), reward=reward,
+                             obs=obs, reward=reward,
                              done=done, metrics=metrics)
 
     def auto_reset(self, state: VecState, rngs: jnp.ndarray) -> VecState:

@@ -50,13 +50,16 @@ def main():
         def body(s, _):
             mean, _ = policy.apply(params, normalize(stats, s.obs))
             s = env.step(s, mean)
+            terms = jnp.stack([s.metrics[k][0] for k in
+                               ("reward_pose", "reward_vel", "reward_ee",
+                                "reward_com")])
             return s, (s.qpos[0], s.reward[0], s.done[0], s.time[0],
-                       s.metrics["root_err"][0])
+                       s.metrics["root_err"][0], terms)
 
         _, out = jax.lax.scan(body, vs, None, length=args.steps)
         return out
 
-    qpos, rew, done, t, root_err = (np.asarray(x) for x in roll(vs))
+    qpos, rew, done, t, root_err, terms = (np.asarray(x) for x in roll(vs))
     q_ref = np.stack([
         np.asarray(reference_state(env.clip, jnp.asarray(float(tt)))[0])
         for tt in t])
@@ -81,6 +84,10 @@ def main():
         "ref_z_apex": round(float(q_ref[:cyc, 2].max()), 3),
         "root_err_by_cycle": [round(float(root_err[i*cyc:(i+1)*cyc].mean()), 3)
                               for i in range(ncyc)],
+        "terms_mean": {k: round(float(terms[:, j].mean()), 3)
+                       for j, k in enumerate(("pose", "vel", "ee", "com"))},
+        "terms_cycle1": {k: round(float(terms[:cyc, j].mean()), 3)
+                         for j, k in enumerate(("pose", "vel", "ee", "com"))},
     }))
     print(f"-> {args.out}")
 

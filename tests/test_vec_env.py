@@ -387,3 +387,36 @@ def test_curriculum_recenter_translates_to_reference_track(model, walk):
                              np.asarray(vs.qpos[j, 2:]), atol=1e-6)
                  for j in (2, 3)]
         assert any(match)
+
+
+def test_link_obs_feature(model, walk):
+    """include_link_obs appends 7*nbody heading-frame link features; the
+    reset (engine-FK) and step (physics-FK) paths produce the same layout,
+    and the per-env MimicEnv agrees with the vec env."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, include_link_obs=True)
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    assert venv.observation_size == (
+        MimicVecEnv(model, walk, CFG, backend="xla").observation_size
+        + 7 * model.nbody)
+    B = 2
+    vs = venv.reset(jax.random.split(jax.random.PRNGKey(31), B))
+    assert vs.obs.shape == (B, venv.observation_size)
+    assert bool(jnp.all(jnp.isfinite(vs.obs)))
+    # root body is at zero offset in its own heading frame; quats are unit
+    nb = model.nbody
+    link = np.asarray(vs.obs[:, -7 * nb:])
+    np.testing.assert_allclose(link[:, 0], 0.0, atol=1e-5)        # rx root
+    np.testing.assert_allclose(link[:, nb], 0.0, atol=1e-5)       # ry root
+    qn = link[:, 3 * nb:].reshape(B, nb, 4)
+    np.testing.assert_allclose(np.linalg.norm(qn, axis=-1), 1.0, atol=1e-4)
+    # per-env MimicEnv produces identical obs at the same state
+    env = MimicEnv(model, walk, cfg)
+    from pbrl_tpu.engine.data import make_data
+    from pbrl_tpu.engine.kinematics import kinematics
+
+    d = make_data(model, qpos=vs.qpos[0], qvel=vs.qvel[0])
+    d = kinematics(model, d).replace(time=vs.time[0])
+    np.testing.assert_allclose(np.asarray(env._obs(d)),
+                               np.asarray(vs.obs[0]), atol=1e-5)
