@@ -29,7 +29,7 @@ import sys
 import numpy as np
 
 
-def mujoco_rollout(env, policy, params, stats, steps: int):
+def mujoco_rollout(env, policy, params, stats, steps: int, perturb: float = 0.0):
     """Roll the deterministic policy through CPU MuJoCo dynamics.
 
     Returns (rewards (T,), qpos (T, nq)) computed with env's own reward
@@ -48,6 +48,11 @@ def mujoco_rollout(env, policy, params, stats, steps: int):
     spec = humanoid_spec()
     mj = mujoco.MjModel.from_xml_string(to_mjcf(spec))
     mj.opt.timestep = float(cfg.physics_dt)
+    if not cfg.enforce_joint_limits:
+        # Match the env: ballistic clips (backflip, kick) exceed the model's
+        # hinge ranges and train with limits off; leaving MuJoCo's limit
+        # springs on makes the oracle fight the motion.
+        mj.jnt_limited[:] = 0
     data = mujoco.MjData(mj)
     assert mj.nq == m.nq and mj.nv == m.nv and mj.nu == m.nu
 
@@ -73,15 +78,18 @@ def mujoco_rollout(env, policy, params, stats, steps: int):
 
     q0, v0 = reference_state(env.clip, 0.0)
     data.qpos[:] = np.asarray(q0, np.float64)
+    data.qpos[7] += perturb  # sensitivity control: chaotic-skill check
     data.qvel[:] = np.asarray(v0, np.float64)
     mujoco.mj_forward(mj, data)
 
     def obs_of(t):
-        parts = [data.qpos[2:]] if cfg.exclude_root_xy else [data.qpos]
-        parts.append(data.qvel)
-        if cfg.include_phase:
-            parts.append(np.asarray([float(phase(env.clip, t))]))
-        return np.concatenate(parts)
+        # The env's own observation builder (handles phase, the reference-
+        # relative root offset, link states, ...) over MuJoCo's state — the
+        # policy must see exactly its training-time features.
+        return np.asarray(env._obs(
+            jnp.asarray(data.qpos, jnp.float32)[None],
+            jnp.asarray(data.qvel, jnp.float32)[None],
+            jnp.asarray([t], jnp.float32))[0])
 
     def stable_pd_torque(target):
         M = np.zeros((m.nv, m.nv))
