@@ -99,6 +99,16 @@ class EnvConfig:
     aerial_s_root: float = 2.0          # exp(-s * root_rot_err^2)
     aerial_s_angvel: float = 0.02       # exp(-s * |root_angvel_err|^2)
     aerial_edge: float = 0.03           # smooth blend width (phase units)
+    # -- drift shaping (training-only, stripped at eval like the aerial
+    # window) --
+    # The standard EE/COM exponentials (s_ee=40, s_com=10) saturate to ~0
+    # once horizontal drift vs the reference exceeds ~15 cm, so their
+    # gradient vanishes exactly where drift correction is needed
+    # (docs/BACKFLIP_EXPERIMENTS.md arm M diagnosis: 0.2-0.3 m/cycle).
+    # A gentle root-xy term exp(-s * |xy - ref_xy|^2) keeps the gradient
+    # alive out to ~1 m; blended with weight w: r = (1-w)*r + w*r_drift.
+    drift_w: float = 0.0                # 0 = off
+    drift_s: float = 3.0
     # -- takeoff-state curriculum (MimicVecEnv only) --
     # On auto-reset, with this probability a finished env restarts from the
     # CURRENT state of a random alive peer env instead of from the

@@ -218,6 +218,12 @@ class MimicEnv(Env):
             aerial = (c.aerial_w_pose * r_pose + c.aerial_w_root * r_root
                       + c.aerial_w_angvel * r_angvel + c.aerial_w_com * r_com)
             reward = (1.0 - win) * reward + win * aerial
+        if c.drift_w > 0:
+            # Training-only anti-drift shaping (same blend as
+            # MimicVecEnv._reward_batch; see EnvConfig.drift_w).
+            dxy = data.qpos[:2] - qpos_ref[:2]
+            r_drift = jnp.exp(-c.drift_s * jnp.sum(dxy**2))
+            reward = (1.0 - c.drift_w) * reward + c.drift_w * r_drift
         # terminal-step zeroing only when falls terminate (see vec.py)
         if c.early_termination:
             reward = jnp.where(fall, 0.0, reward)

@@ -242,6 +242,13 @@ class MimicVecEnv:
             aerial = (c.aerial_w_pose * r_pose + c.aerial_w_root * r_root
                       + c.aerial_w_angvel * r_angvel + c.aerial_w_com * r_com)
             reward = (1.0 - win) * reward + win * aerial
+        if c.drift_w > 0:
+            # Training-only anti-drift shaping: gentle-scale root-xy term
+            # whose gradient survives the 0.1-0.5 m drifts that saturate
+            # the EE/COM exponentials (see EnvConfig.drift_w).
+            dxy = qpos[:, :2] - q_ref[:, :2]
+            r_drift = jnp.exp(-c.drift_s * jnp.sum(dxy**2, axis=1))
+            reward = (1.0 - c.drift_w) * reward + c.drift_w * r_drift
         # DeepMimic zeroes the terminal step's reward — only meaningful when
         # falls actually terminate; for floor-contact tasks (getup) ground
         # touches are part of the motion and must stay rewarded.

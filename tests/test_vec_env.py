@@ -220,6 +220,48 @@ def test_aerial_window_reweights_reward(model, walk):
     assert float(r3[0]) > 0.95
 
 
+def test_drift_shaping_keeps_gradient_alive(model, walk):
+    """drift_w blends in a gentle root-xy term whose xy-gradient survives
+    drifts that saturate the EE/COM exponentials (at 0.6 m the standard
+    reward's xy-gradient is ~0.03/m; the drift term contributes ~6x that),
+    a perfect state still scores ~1, and drift_w=0 reproduces the standard
+    reward exactly (training-only shaping; eval strips it)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, drift_w=0.15, drift_s=3.0)
+    venv_d = MimicVecEnv(model, walk, cfg, backend="xla")
+    venv_p = MimicVecEnv(model, walk, CFG, backend="xla")
+
+    t = jnp.asarray([0.3 * float(walk.cycle_time)])
+    qpos, qvel = jax.vmap(lambda tt: reference_state(walk, tt))(t)
+    fall = jnp.zeros((1,))
+
+    def reward_at_drift(venv, d):
+        # translate root + every body world position by d along x
+        qp = qpos.at[:, 0].add(d)
+        xp, xq = _batch_kinematics(model, qp, qvel)
+        r, _ = venv._reward_batch(qp, qvel, t, xp, xq, fall)
+        return r[0]
+
+    g_d = jax.grad(lambda d: reward_at_drift(venv_d, d))(0.6)
+    g_p = jax.grad(lambda d: reward_at_drift(venv_p, d))(0.6)
+    assert abs(float(g_d)) > 3.0 * abs(float(g_p))
+
+    # on-reference state still scores ~1 under the blend
+    xp2, xq2 = _batch_kinematics(model, qpos, qvel)
+    r2, _ = venv_d._reward_batch(qpos, qvel, t, xp2, xq2, fall)
+    assert float(r2[0]) > 0.95
+
+    # default config is bit-identical to the pre-drift reward
+    venv_off = MimicVecEnv(
+        model, walk, dataclasses.replace(CFG, drift_w=0.0), backend="xla")
+    qpd = qpos.at[:, 0].add(0.6)
+    xp3, xq3 = _batch_kinematics(model, qpd, qvel)
+    r3, _ = venv_off._reward_batch(qpd, qvel, t, xp3, xq3, fall)
+    r_p, _ = venv_p._reward_batch(qpd, qvel, t, xp3, xq3, fall)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r_p), rtol=1e-6)
+
+
 def test_curriculum_reset_adopts_peer_states(model, walk):
     """curriculum_reset_prob=1: done envs restart from alive peers' states."""
     import dataclasses
