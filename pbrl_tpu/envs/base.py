@@ -109,6 +109,16 @@ class EnvConfig:
     # alive out to ~1 m; blended with weight w: r = (1-w)*r + w*r_drift.
     drift_w: float = 0.0                # 0 = off
     drift_s: float = 3.0
+    # -- dynamics randomization (training-only; eval resets to 1.0) --
+    # Scale the contact model the policy trains against. Alternating resume
+    # rounds over a small set of scales (e.g. tc x{0.7, 1.0, 1.4}) is a
+    # sequential approximation of per-env domain randomization: it stops
+    # the policy overfitting one engine's landing behavior, which is what
+    # the MuJoCo-transfer parity harness (scripts/reward_parity.py)
+    # measures. contact_tc_scale multiplies option.contact_timeconst
+    # (higher = softer ground); friction_scale multiplies geom_friction.
+    contact_tc_scale: float = 1.0
+    friction_scale: float = 1.0
     # -- takeoff-state curriculum (MimicVecEnv only) --
     # On auto-reset, with this probability a finished env restarts from the
     # CURRENT state of a random alive peer env instead of from the

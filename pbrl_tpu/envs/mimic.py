@@ -64,6 +64,16 @@ class MimicEnv(Env):
         model = model.replace(
             option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
         )
+        if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
+            # Dynamics-randomization knobs — same transform as MimicVecEnv
+            # (vec/per-env semantic parity).
+            opt = model.option
+            model = model.replace(
+                option=opt.replace(
+                    contact_timeconst=opt.contact_timeconst
+                    * config.contact_tc_scale),
+                geom_friction=model.geom_friction * config.friction_scale,
+            )
         if not config.enforce_joint_limits:
             model = model.replace(jnt_limited=tuple(False for _ in model.jnt_limited))
         self.model = model

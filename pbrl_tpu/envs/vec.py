@@ -66,6 +66,17 @@ class MimicVecEnv:
         model = model.replace(
             option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
         )
+        if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
+            # Dynamics-randomization knobs (see EnvConfig): perturb the
+            # contact model the policy trains against so it cannot overfit
+            # one engine's landing behavior. Eval resets both to 1.0.
+            opt = model.option
+            model = model.replace(
+                option=opt.replace(
+                    contact_timeconst=opt.contact_timeconst
+                    * config.contact_tc_scale),
+                geom_friction=model.geom_friction * config.friction_scale,
+            )
         if not config.enforce_joint_limits:
             model = model.replace(jnt_limited=tuple(False for _ in model.jnt_limited))
         self.model = model

@@ -138,13 +138,18 @@ def mujoco_rollout(env, policy, params, stats, steps: int, perturb: float = 0.0)
     return np.asarray(rewards), np.asarray(qpos_hist)
 
 
-def our_rollout(env, policy, params, stats, steps: int):
+def our_rollout(env, policy, params, stats, steps: int, perturb: float = 0.0):
     import jax
     import jax.numpy as jnp
 
     from pbrl_tpu.train.running_stats import normalize
 
     vs = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 1))
+    if perturb:
+        # identical start perturbation to mujoco_rollout's (qpos[7], the
+        # first actuated joint) so both dynamics see the same initial state
+        qpos = vs.qpos.at[:, 7].add(perturb)
+        vs = vs.replace(qpos=qpos, obs=env._obs(qpos, vs.qvel, vs.time))
 
     @jax.jit
     def roll(vs):
@@ -160,8 +165,17 @@ def our_rollout(env, policy, params, stats, steps: int):
     return np.asarray(rew), np.asarray(qpos)
 
 
-def run_one(checkpoint_dir: str, steps: int) -> dict:
-    """Roll one trained clip through both dynamics; return the parity row."""
+def run_one(checkpoint_dir: str, steps: int, rollouts: int = 1) -> dict:
+    """Roll one trained clip through both dynamics; return the parity row.
+
+    With ``rollouts`` > 1, both sides are rolled from ``rollouts`` starts
+    that differ by tiny identical joint perturbations (±1-3 mrad) and the
+    gap is taken between the per-side MEANS. A single trajectory pair is a
+    coin flip for chaotic clips (backflip: mid-flight divergence doubles
+    every ~80 ms, so a 1e-3 rad start difference decides which side lands
+    cleanly); the expected achieved reward under each dynamics is the
+    quantity the north-star parity clause actually names.
+    """
     import dataclasses
 
     from pbrl_tpu.cli import _restore_run
@@ -187,8 +201,24 @@ def run_one(checkpoint_dir: str, steps: int) -> dict:
                            hidden=tuple(train_cfg.hidden))
     params = payload["params"]["policy"]
 
-    ours_r, ours_q = our_rollout(env, policy, params, stats, steps)
-    mj_r, mj_q = mujoco_rollout(env, policy, params, stats, steps)
+    perturbs = [0.0]
+    if rollouts > 1:
+        # symmetric ±k mrad fan around the reference start
+        perturbs = [0.001 * ((k + 2) // 2) * (1 if k % 2 else -1)
+                    for k in range(rollouts - 1)]
+        perturbs = [0.0] + perturbs
+    ours_runs, mj_runs = [], []
+    for p in perturbs:
+        o_r, o_q = our_rollout(env, policy, params, stats, steps, perturb=p)
+        m_r, m_q = mujoco_rollout(env, policy, params, stats, steps, perturb=p)
+        ours_runs.append(o_r)
+        mj_runs.append(m_r)
+        if p == 0.0:
+            ours_q, mj_q = o_q, m_q
+    per_ours = [round(float(r.mean()), 4) for r in ours_runs]
+    per_mj = [round(float(r.mean()), 4) for r in mj_runs]
+    ours_r = np.mean(ours_runs, axis=0)
+    mj_r = np.mean(mj_runs, axis=0)
 
     ours = float(ours_r.mean())
     oracle = float(mj_r.mean())
@@ -207,6 +237,7 @@ def run_one(checkpoint_dir: str, steps: int) -> dict:
         "clip": env.clip.name,
         "checkpoint": checkpoint_dir,
         "steps": steps,
+        "rollouts": rollouts,
         "reward_ours": round(ours, 4),
         "reward_mujoco": round(oracle, 4),
         "relative_gap": round(gap, 4),
@@ -214,6 +245,8 @@ def run_one(checkpoint_dir: str, steps: int) -> dict:
         "root_pos_rmse_m": round(root_rmse, 4),
         "ours_by_third": thirds(ours_r),
         "mujoco_by_third": thirds(mj_r),
+        "per_rollout_ours": per_ours,
+        "per_rollout_mujoco": per_mj,
     }
 
 
@@ -229,6 +262,9 @@ def main():
     ap.add_argument("--checkpoint-dir", action="append", default=[],
                     help="repeatable; default: walk, backflip, getup_facedown")
     ap.add_argument("--steps", type=int, default=90, help="policy steps (~3 walk cycles)")
+    ap.add_argument("--rollouts", type=int, default=1,
+                    help="starts per side (>1: gap of per-side means over "
+                         "identically-perturbed starts; use for chaotic clips)")
     ap.add_argument("--out", default="PARITY.md")
     args = ap.parse_args()
     dirs = args.checkpoint_dir or [
@@ -236,7 +272,7 @@ def main():
 
     rows = []
     for d in dirs:
-        r = run_one(d, args.steps)
+        r = run_one(d, args.steps, rollouts=args.rollouts)
         print(json.dumps(r))
         rows.append(r)
 

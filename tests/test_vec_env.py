@@ -262,6 +262,29 @@ def test_drift_shaping_keeps_gradient_alive(model, walk):
     np.testing.assert_allclose(np.asarray(r3), np.asarray(r_p), rtol=1e-6)
 
 
+def test_dynamics_randomization_scales_contact_model(model, walk):
+    """contact_tc_scale / friction_scale transform the model identically in
+    MimicVecEnv and MimicEnv (training-only; eval resets both to 1.0)."""
+    import dataclasses
+
+    from pbrl_tpu.envs.mimic import MimicEnv
+
+    cfg = dataclasses.replace(CFG, contact_tc_scale=1.4, friction_scale=0.8)
+    venv = MimicVecEnv(model, walk, cfg, backend="xla")
+    penv = MimicEnv(model, walk, cfg)
+    base_tc = float(model.option.contact_timeconst)
+    for e in (venv, penv):
+        np.testing.assert_allclose(
+            float(e.model.option.contact_timeconst), base_tc * 1.4, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(e.model.geom_friction),
+                                   np.asarray(model.geom_friction) * 0.8,
+                                   rtol=1e-6)
+    # defaults leave the model untouched
+    v0 = MimicVecEnv(model, walk, CFG, backend="xla")
+    np.testing.assert_allclose(
+        float(v0.model.option.contact_timeconst), base_tc, rtol=1e-6)
+
+
 def test_curriculum_reset_adopts_peer_states(model, walk):
     """curriculum_reset_prob=1: done envs restart from alive peers' states."""
     import dataclasses
