@@ -190,7 +190,8 @@ def _restore_run(args):
     # window) stay out of the metric, so eval numbers are comparable across
     # recipes and to the oracle parity harness.
     env_cfg = dataclasses.replace(env_cfg, rsi_noise_qpos=0.0,
-                                  rsi_noise_qvel=0.0, rsi_phase_bias=0.0,
+                                  rsi_noise_qvel=0.0, rsi_noise_root_xy=0.0,
+                                  rsi_phase_bias=0.0,
                                   curriculum_reset_prob=0.0,
                                   aerial_window=(), drift_w=0.0,
                                   contact_tc_scale=1.0, friction_scale=1.0)

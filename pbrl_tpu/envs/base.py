@@ -71,6 +71,14 @@ class EnvConfig:
     # landing, which never exactly matches the reference restart.
     rsi_noise_qpos: float = 0.0
     rsi_noise_qvel: float = 0.0
+    # Uniform root-XY offset (± meters) added at reset. Joint/velocity
+    # noise never displaces the root, so a policy only visits laterally-
+    # drifted states late in an episode where the discounted gradient is
+    # weak; starting some episodes already off-track (the offset is
+    # observable through ``include_ref_root_offset``) trains ACTIVE drift
+    # correction — steering back onto the reference track during stance —
+    # instead of mere drift tolerance.
+    rsi_noise_root_xy: float = 0.0
     early_termination: bool = True      # terminate on fall
     # Terminate when the root-orientation error vs the reference exceeds
     # this many radians (0 = off). Kills the "stand still through the

@@ -271,6 +271,11 @@ class MimicEnv(Env):
                 * jax.random.normal(kq, (self.model.nq - 7,)))
             qvel = qvel + (self.config.rsi_noise_qvel
                            * jax.random.normal(kv, (self.model.nv,)))
+        if self.config.rsi_noise_root_xy > 0:
+            kr = jax.random.fold_in(key, 3)
+            qpos = qpos.at[:2].add(
+                self.config.rsi_noise_root_xy
+                * jax.random.uniform(kr, (2,), minval=-1.0, maxval=1.0))
         data = make_data(self.model, qpos=qpos, qvel=qvel).replace(
             time=jnp.asarray(t0, jnp.float32)
         )

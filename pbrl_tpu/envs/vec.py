@@ -391,6 +391,11 @@ class MimicVecEnv:
             nv = jax.vmap(lambda k: jax.random.normal(k, (self.model.nv,)))(kv)
             qpos = qpos.at[:, 7:].add(self.config.rsi_noise_qpos * nq)
             qvel = qvel + self.config.rsi_noise_qvel * nv
+        if self.config.rsi_noise_root_xy > 0:
+            kr = jax.vmap(lambda k: jax.random.fold_in(k, 3))(keys)
+            nxy = jax.vmap(lambda k: jax.random.uniform(
+                k, (2,), minval=-1.0, maxval=1.0))(kr)
+            qpos = qpos.at[:, :2].add(self.config.rsi_noise_root_xy * nxy)
         obs = self._obs(qpos, qvel, t0)
         zeros = jnp.zeros((B,))
         metrics = {

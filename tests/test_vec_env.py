@@ -175,6 +175,33 @@ def test_rsi_phase_bias_shifts_resets(model, walk):
     assert float(t_late.max()) <= hi
 
 
+def test_rsi_root_xy_noise_offsets_root_only(model, walk):
+    """rsi_noise_root_xy displaces ONLY the root x/y at reset (uniform in
+    ±scale); joints, heights and velocities stay on the reference, and the
+    per-env MimicEnv draws from the same distribution family."""
+    import dataclasses
+
+    from pbrl_tpu.envs import MimicEnv
+
+    rngs = jax.random.split(jax.random.PRNGKey(3), 256)
+    clean = MimicVecEnv(model, walk, CFG, backend="xla").reset(rngs)
+    cfg = dataclasses.replace(CFG, rsi_noise_root_xy=0.3)
+    noisy = MimicVecEnv(model, walk, cfg, backend="xla").reset(rngs)
+
+    dxy = noisy.qpos[:, :2] - clean.qpos[:, :2]
+    assert float(jnp.abs(dxy).max()) <= 0.3 + 1e-6
+    assert float(jnp.abs(dxy).max()) > 0.15          # actually perturbed
+    assert jnp.allclose(noisy.qpos[:, 2:], clean.qpos[:, 2:])
+    assert jnp.allclose(noisy.qvel, clean.qvel)
+    assert jnp.allclose(noisy.time, clean.time)
+
+    per = MimicEnv(model, walk, cfg).reset(jax.random.PRNGKey(3))
+    # per-env: root xy drawn from the same ±0.3 uniform box
+    q_ref = MimicEnv(model, walk, CFG).reset(jax.random.PRNGKey(3))
+    d = per.pipeline.qpos[:2] - q_ref.pipeline.qpos[:2]
+    assert float(jnp.abs(d).max()) <= 0.3 + 1e-6
+
+
 def _batch_kinematics(model, qpos, qvel):
     """xpos/xquat for a (B, nq) batch via the einsum engine's FK."""
     from pbrl_tpu.engine.data import make_data
