@@ -20,6 +20,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Diagnostics always run on host CPU — the axon TPU plugin ignores
+    # JAX_PLATFORMS, and landing here while a training job owns the chip
+    # wedges both (see reward_parity.py, same guard).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pbrl_tpu.cli import _restore_run

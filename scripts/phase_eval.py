@@ -23,6 +23,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Always host-CPU: the axon TPU plugin ignores JAX_PLATFORMS (see
+    # reward_parity.py, same guard).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
