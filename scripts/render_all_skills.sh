@@ -6,7 +6,7 @@ set -uo pipefail
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}"
 OUT="${OUT:-artifacts}"
 mkdir -p "$OUT"
-for skill in walk jump backflip_pt kick punch getup getup_faceup; do
+for skill in walk jump backflip kick punch getup getup_faceup; do
   dir="ckpts/$skill"
   [ -d "$dir" ] || { echo "skip $skill (no checkpoint)"; continue; }
   echo ">>> $skill"
