@@ -6,7 +6,7 @@
 set -x
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
-until grep -q CAMPAIGN13_DONE logs/campaign13.log; do sleep 60; done
+until grep -q CAMPAIGN15_DONE logs/campaign15.log; do sleep 60; done
 sleep 45
 
 best=$(python - <<'EOF'
@@ -22,7 +22,9 @@ cands = {"backflip_r3v3": "logs/eval_bf_v3.json",
          "backflip_r3ad": "logs/eval_bf_ad.json",
          "backflip_r3ae": "logs/eval_bf_ae.json",
          "backflip_r3af": "logs/eval_bf_af.json",
-         "backflip_r3ag": "logs/eval_bf_ag.json"}
+         "backflip_r3ag": "logs/eval_bf_ag.json",
+         "backflip_r3ah": "logs/eval_bf_ah.json",
+         "backflip_r3ai": "logs/eval_bf_ai.json"}
 scores = {}
 for name, f in cands.items():
     try:
