@@ -46,6 +46,14 @@ class PolicyNetwork(nn.Module):
     hidden: Sequence[int] = (1024, 512)
     init_log_std: float = -1.0
     fixed_log_std: bool = False
+    # Hard exploration bounds: sigma in [0.1, 2.0] rad. The learnable std
+    # has wandered both ways in training (arm Q: entropy bonus blew sigma
+    # to ~2 rad and noise-soaked the policy; a strong negative
+    # entropy_cost anneal would otherwise collapse it to 0 and freeze the
+    # likelihood ratios). Outside the clamp the param stops receiving
+    # gradient, which pins the effective std at the bound.
+    min_log_std: float = -2.3
+    max_log_std: float = 0.7
 
     @nn.compact
     def __call__(self, obs):
@@ -55,6 +63,7 @@ class PolicyNetwork(nn.Module):
         )
         if self.fixed_log_std:
             log_std = jax.lax.stop_gradient(log_std)
+        log_std = jnp.clip(log_std, self.min_log_std, self.max_log_std)
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 

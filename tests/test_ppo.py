@@ -74,6 +74,20 @@ def test_running_stats_matches_numpy():
     assert abs(float(jnp.mean(z))) < 0.05
 
 
+def test_policy_log_std_clamped():
+    # Exploration sigma is hard-bounded to [0.1, 2.0] rad: a runaway
+    # entropy bonus (arm Q) or a strong negative-entropy anneal must not
+    # push the effective std outside a healthy range.
+    from pbrl_tpu.train.networks import PolicyNetwork
+
+    obs = jnp.zeros((3, 5))
+    for init, expect in ((-5.0, -2.3), (2.0, 0.7), (-1.0, -1.0)):
+        net = PolicyNetwork(action_size=4, hidden=(8,), init_log_std=init)
+        params = net.init(jax.random.PRNGKey(0), obs)
+        _, log_std = net.apply(params, obs)
+        np.testing.assert_allclose(np.asarray(log_std), expect, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # A tiny synthetic env implementing the Env protocol: the agent must output
 # action == obs to maximise reward. Verifies the full PPO loop cheaply.
