@@ -268,7 +268,7 @@ def main():
     ap.add_argument("--out", default="PARITY.md")
     args = ap.parse_args()
     dirs = args.checkpoint_dir or [
-        "ckpts/walk", "ckpts/backflip", "ckpts/getup_facedown"]
+        "ckpts/walk", "ckpts/backflip", "ckpts/getup"]
 
     rows = []
     for d in dirs:
