@@ -5,9 +5,12 @@ covered: explicit initialise, idempotent re-entry, primary-host guards, and
 the CLI flag wiring. (SURVEY.md §5 "distributed communication backend".)
 """
 
+import os
 import subprocess
 import sys
 import textwrap
+
+import pytest
 
 from pbrl_tpu.parallel import is_primary_host
 
@@ -60,3 +63,43 @@ def test_cli_exposes_distributed_flags():
     # Default: not distributed.
     args = build_parser().parse_args(["train"])
     assert not args.distributed
+
+
+@pytest.mark.slow
+def test_two_process_ppo_step_over_gloo():
+    """REAL multi-process SPMD (the DCN-equivalent path, run for real).
+
+    Two OS processes, each contributing 2 virtual CPU devices, join one
+    global mesh via ``jax.distributed.initialize`` + Gloo cross-process
+    collectives and jit ONE full PPO training step with the env batch
+    sharded over all 4 global devices and parameters replicated. The
+    gradient all-reduce crosses the process boundary — CPU+Gloo standing in
+    for TPU+DCN, same program, same API. Both processes must succeed and
+    report bit-identical reward_mean (SPMD determinism across hosts).
+    """
+    import re
+    import socket
+
+    with socket.socket() as s:  # free port for the Gloo coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "multihost_worker.py")
+    procs = [subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    rewards = [re.search(r"reward_mean=([-\d.]+)", o).group(1) for o in outs]
+    assert rewards[0] == rewards[1], rewards
