@@ -113,7 +113,9 @@ import json
 l=[x for x in open('logs/parity_incumbent.json') if x.strip().startswith('{')][-1]
 print(json.loads(l)['relative_gap'])" 2>/dev/null || echo 1)
 echo "AJ eval=$aj gap=$ajgap | incumbent eval=$inc gap=$incgap"
-if python -c "import sys; sys.exit(0 if (float('$ajgap') < 0.10 and float('$aj') >= float('$inc') - 0.02) else 1)"; then
+# Promote only on strict improvement: better transfer than the incumbent
+# (AA already measures 7.8% < the 10% criterion) at essentially equal eval.
+if python -c "import sys; sys.exit(0 if (float('$ajgap') < float('$incgap') and float('$aj') >= float('$inc') - 0.01) else 1)"; then
   echo "PROMOTE_BACKFLIP=backflip_r3aj"
   rm -rf ckpts/backflip && cp -r ckpts/backflip_r3aj ckpts/backflip
 fi
