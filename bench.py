@@ -157,5 +157,52 @@ def main():
     }))
 
 
+def _wait_for_chip() -> bool:
+    """Bounded wait for the TPU tunnel before benching.
+
+    The axon tunnel occasionally wedges (a chip job starting during
+    another's release deadlocks client init — see
+    docs/BACKFLIP_EXPERIMENTS.md round-3 incident). A wedged client hangs
+    forever, so probe in SUBPROCESSES with hard timeouts and give the
+    tunnel up to BENCH_CHIP_WAIT_S (default 1800 s) to recover; on
+    exhaustion return False so main can exit with a diagnostic instead of
+    hanging the driver.
+    """
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_CHIP_WAIT_S", 1800))
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(float(jax.numpy.ones(8).sum()))"],
+                capture_output=True, text=True, timeout=300)
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(f"# chip available after {attempt} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# chip probe {attempt} failed; retrying (budget "
+              f"{int(deadline - time.time())}s left)", file=sys.stderr)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    if not _wait_for_chip():
+        print(json.dumps({
+            "metric": "humanoid_env_steps_per_sec_per_chip",
+            "value": None,
+            "unit": "env-steps/s/chip",
+            "vs_baseline": None,
+            "error": "TPU tunnel unavailable past BENCH_CHIP_WAIT_S budget "
+                     "(axon wedge; see docs/BACKFLIP_EXPERIMENTS.md)",
+        }))
+        sys.exit(3)
     sys.exit(main())

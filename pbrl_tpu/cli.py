@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -279,6 +280,14 @@ def cmd_bench(args):
 def build_parser():
     p = argparse.ArgumentParser(prog="pbrl",
                                 description="TPU-native physics-based RL framework")
+    p.add_argument("--platform", default=os.environ.get("PBRL_PLATFORM", ""),
+                   choices=["", "cpu", "tpu", "axon"],
+                   help="force the jax platform before backend init "
+                        "(env: PBRL_PLATFORM). Needed to run host-side "
+                        "subcommands (info/replay/rollout on CPU) while a "
+                        "training job owns the single-tenant chip — the "
+                        "axon TPU plugin ignores the JAX_PLATFORMS env var, "
+                        "so the CLI must set it via jax.config.")
     sub = p.add_subparsers(dest="command", required=True)
 
     sp = sub.add_parser("info", help="print devices, model dims, clips")
@@ -383,6 +392,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "axon" if args.platform == "tpu" else args.platform)
     return args.fn(args)
 
 
