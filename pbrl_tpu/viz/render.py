@@ -49,6 +49,16 @@ def render_video(spec_or_model, qpos: np.ndarray, *, width=640, height=480,
     if not isinstance(spec_or_model, ModelSpec):
         raise TypeError("render_video needs the ModelSpec (e.g. humanoid_spec())")
     mj = mujoco.MjModel.from_xml_string(to_mjcf(spec_or_model))
+    # Readability: our exported MJCF defines no lights or materials, and
+    # MuJoCo's default headlight renders everything near-black on the gray
+    # background. Brighten the headlight and give the robot/floor
+    # distinguishable colors (visual-only; never touches simulation).
+    mj.vis.headlight.ambient[:] = (0.35, 0.35, 0.35)
+    mj.vis.headlight.diffuse[:] = (0.9, 0.9, 0.9)
+    mj.vis.headlight.specular[:] = (0.3, 0.3, 0.3)
+    plane = mj.geom_type == mujoco.mjtGeom.mjGEOM_PLANE
+    mj.geom_rgba[plane] = (0.82, 0.84, 0.87, 1.0)
+    mj.geom_rgba[~plane] = (0.35, 0.48, 0.78, 1.0)
     data = mujoco.MjData(mj)
     renderer = mujoco.Renderer(mj, height=height, width=width)
     frames = []
