@@ -83,6 +83,33 @@ def _kernel_vs_xla_parity(model, clip):
         assert np.isfinite(dv_max) and dv_max < 1.0, f"kernel qvel: {dv_max}"
         assert np.isfinite(dr) and dr < 5e-2, f"kernel reward diverged: {dr}"
 
+    # Airborne phase (VERDICT r3 weak #5): with no contact active the wide
+    # impact-event tolerance above is unavailable as a hiding place — lift
+    # the whole batch 1 m (free fall over 2 policy steps is ~5 mm, nothing
+    # touches the floor) and require near-exact qvel agreement, so a
+    # systematic per-contact lowering error cannot pass as "impact noise".
+    cfg = EnvConfig(reference_state_init=True, rsi_noise_qpos=0.05,
+                    rsi_noise_qvel=0.5, early_termination=False)
+    kenv = MimicVecEnv(model, clip, cfg, backend="kernel")
+    xenv = MimicVecEnv(model, clip, cfg, backend="xla")
+    rngs = jax.random.split(jax.random.PRNGKey(11), B)
+    ks = jax.jit(kenv.reset)(rngs)
+    ks = ks.replace(qpos=ks.qpos.at[:, 2].add(1.0))
+    xs = jax.jit(xenv.reset)(rngs)
+    xs = xs.replace(qpos=xs.qpos.at[:, 2].add(1.0))
+    act = jnp.zeros((B, kenv.action_size))
+    kstep = jax.jit(kenv.step)
+    xstep = jax.jit(xenv.step)
+    for _ in range(2):
+        ks = kstep(ks, act)
+        xs = xstep(xs, act)
+    dq = float(jnp.max(jnp.abs(ks.qpos - xs.qpos)))
+    dv = float(jnp.max(jnp.abs(ks.qvel - xs.qvel)))
+    print(f"[bench] kernel-vs-xla parity (airborne): |dq|={dq:.2e} "
+          f"|dv|={dv:.2e}", file=sys.stderr)
+    assert np.isfinite(dq) and dq < 1e-4, f"airborne qpos diverged: {dq}"
+    assert np.isfinite(dv) and dv < 1e-3, f"airborne qvel diverged: {dv}"
+
 
 def main():
     import jax
@@ -163,14 +190,16 @@ def _wait_for_chip() -> bool:
     The axon tunnel occasionally wedges (a chip job starting during
     another's release deadlocks client init — see
     docs/BACKFLIP_EXPERIMENTS.md round-3 incident). A wedged client hangs
-    forever, so probe in SUBPROCESSES with hard timeouts and give the
-    tunnel up to BENCH_CHIP_WAIT_S (default 1800 s) to recover; on
-    exhaustion return False so main can exit with a diagnostic instead of
-    hanging the driver.
+    forever, so probe in SUBPROCESSES with hard timeouts. The budget MUST
+    fit inside the driver's own kill window: round 3's 1800 s default +
+    300 s probes meant the driver killed the process (rc=124) before the
+    outage-fallback JSON ever printed (BENCH_r03, VERDICT r3 weak #1).
+    Default is now 240 s total with 90 s probes — 2-3 fast probes, then
+    the fallback JSON emits within ~5 minutes of launch, always.
     """
     import subprocess
 
-    budget = float(os.environ.get("BENCH_CHIP_WAIT_S", 1800))
+    budget = float(os.environ.get("BENCH_CHIP_WAIT_S", 240))
     deadline = time.time() + budget
     attempt = 0
     while True:
@@ -179,7 +208,8 @@ def _wait_for_chip() -> bool:
             proc = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(float(jax.numpy.ones(8).sum()))"],
-                capture_output=True, text=True, timeout=300)
+                capture_output=True, text=True,
+                timeout=min(90, max(10, deadline - time.time())))
             if proc.returncode == 0:
                 if attempt > 1:
                     print(f"# chip available after {attempt} probes",
@@ -191,7 +221,7 @@ def _wait_for_chip() -> bool:
             return False
         print(f"# chip probe {attempt} failed; retrying (budget "
               f"{int(deadline - time.time())}s left)", file=sys.stderr)
-        time.sleep(60)
+        time.sleep(20)
 
 
 def _last_verified() -> dict | None:

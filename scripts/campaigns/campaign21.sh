@@ -13,7 +13,9 @@
 #
 # Wedge safety: this shell takes the chip ONLY after the campaign-20 process
 # has fully exited (single serial chain at any moment, settle >=120 s).
-set -x
+# Log hygiene (VERDICT r3 weak #7): no set -x — the 60 s watchdog loops
+# would trace thousands of no-op lines into the committed log. Decisions
+# and results are echoed explicitly below.
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
 
@@ -81,7 +83,7 @@ echo "INCUMBENTS backflip=$BF_INC jump=$J_INC"
 python -c "import sys; sys.exit(0 if float('$BF_INC') > 0 and float('$J_INC') > 0 else 1)" || exit 1
 
 # ---- AJ2: backflip sigma-reset polish ----
-BFFLAGS=$(python scripts/recipe_flags.py ckpts/backflip)
+BFFLAGS=$(JAX_PLATFORMS=cpu python scripts/recipe_flags.py ckpts/backflip)
 rm -rf ckpts/backflip_r3aj2
 cp -r ckpts/backflip ckpts/backflip_r3aj2
 run_job 3600 logs/bf_r3_armAJ2.log python -m pbrl_tpu.cli train --clip backflip --num-envs 2048 --quiet $BFFLAGS \
@@ -104,7 +106,7 @@ if python -c "import sys; sys.exit(0 if float('$AJ2') > float('$BF_INC') else 1)
 fi
 
 # ---- JS: jump sigma-reset polish ----
-JFLAGS=$(python scripts/recipe_flags.py ckpts/jump)
+JFLAGS=$(JAX_PLATFORMS=cpu python scripts/recipe_flags.py ckpts/jump)
 rm -rf ckpts/jump_r3js
 cp -r ckpts/jump ckpts/jump_r3js
 run_job 3600 logs/jump_r3js.log python -m pbrl_tpu.cli train --clip jump --num-envs 2048 --quiet $JFLAGS \

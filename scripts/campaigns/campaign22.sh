@@ -11,7 +11,9 @@
 # randomization (contact_tc_scale 0.7 -> 1.4 -> 1.0, 150M each) + moderate
 # RSI noise. Promotion is TRANSFER-gated: multi-start CPU parity gap must
 # strictly improve AND eval must stay within 0.05 of the incumbent.
-set -x
+# Log hygiene (VERDICT r3 weak #7): no set -x — the 60 s watchdog loops
+# would trace thousands of no-op lines into the committed log. Decisions
+# and results are echoed explicitly below.
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
 
@@ -65,7 +67,7 @@ EOF
 }
 
 for skill in kick punch; do
-  FLAGS=$(python scripts/recipe_flags.py "ckpts/$skill")
+  FLAGS=$(JAX_PLATFORMS=cpu python scripts/recipe_flags.py "ckpts/$skill")
   echo "FLAGS=$FLAGS"
 
   # Incumbent baselines: eval (chip) + multi-start transfer gap (CPU).

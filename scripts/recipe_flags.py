@@ -17,7 +17,12 @@ learning_rate, seed, hidden) are skipped.
 
 import dataclasses
 import json
+import os
 import sys
+
+# Run as ``python scripts/recipe_flags.py`` — sys.path[0] is scripts/, so
+# the repo root (one level up) must be added for the pbrl_tpu import.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 SKIP_TRAIN = {"num_envs", "total_env_steps", "learning_rate", "seed",
