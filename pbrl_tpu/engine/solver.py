@@ -11,16 +11,20 @@ fused VPU blocks over the env batch:
   ``|f_t| <= mu * f_n``;
 * limits:   one-sided spring-damper in joint space scaled by ``M[ii]``.
 
-``m_eff`` for ground (plane) contacts is the exact Delassus effective mass
+``m_eff`` for EVERY contact is the exact Delassus effective mass
 ``1/(J M^-1 J^T)`` along the contact normal, recomputed every substep from
 the live configuration — the normal-direction error dynamics are then
 exactly the normalized ``-pen/tc^2 - 2 zeta vn / tc`` regardless of leg
 configuration, and a loaded foot settles ~mm instead of ~cm (the round-2
-parity transient, PARITY.md). Self-contacts keep the static pairwise
-harmonic mass surrogate (cheap; rarely active; same policy as the fused
-kernel so the engines stay differential-testable). Force application uses
-the same Jacobian row implicitly: the generalized force is assembled with
-the ancestor-mask einsum
+parity transient, PARITY.md). Self-contacts use the same formula with the
+two-body row ``J = (anc[b2] - anc[b1]) * (S . f_hat)`` — the common
+ancestor path cancels in J but re-enters through the triangular solve
+(round-4; round 2/3 used a static pairwise harmonic surrogate here, the
+same fidelity-gap class as the round-2 ground surrogate). The fused kernel
+applies the identical policy (``field_physics.SubstepSpec.self_contact_
+delassus``) so the engines stay differential-testable. Force application
+uses the same Jacobian row implicitly: the generalized force is assembled
+with the ancestor-mask einsum
 
     qfrc[i] = S_i . sum_c (anc[b2_c, i] - anc[b1_c, i]) * F_c
 
@@ -69,10 +73,13 @@ def contact_forces(model: Model, data: Data) -> Data:
     v_frame = jnp.einsum("cij,cj->ci", con.frame, vrel)
     vn, vt = v_frame[:, 0], v_frame[:, 1:]
 
-    # Effective mass. Ground contacts: exact Delassus 1/(J M^-1 J^T) along
-    # the normal. J's row for unit normal force is exactly the force-mapping
-    # direction used below: J[c,i] = danc[c,i] * (S_i . [arm x n, n]), so
-    # w = ||L^-1 J^T||^2 with M = L L^T (only the forward solve is needed).
+    # Effective mass: exact Delassus 1/(J M^-1 J^T) along the normal, for
+    # ground AND self-contacts. J's row for unit normal force is exactly the
+    # force-mapping direction used below: J[c,i] = danc[c,i] *
+    # (S_i . [arm x n, n]) — danc already differences the two bodies'
+    # ancestor masks, so the same row is correct for two-body contacts —
+    # and w = ||L^-1 J^T||^2 with M = L L^T (only the forward solve is
+    # needed).
     n_w = con.frame[:, 0, :]
     f_hat = jnp.concatenate([jnp.cross(arm, n_w), n_w], axis=-1)  # (ncon, 6)
     jrow = danc * jnp.einsum("ix,cx->ci", data.subspace, f_hat,
@@ -82,14 +89,7 @@ def contact_forces(model: Model, data: Data) -> Data:
     chol = cholesky_factor(data.qM)
     y = _solve_lower(chol, jrow)  # (ncon, nv), broadcasts over the slot axis
     w = jnp.sum(y * y, axis=-1)
-    m_delassus = 1.0 / jnp.maximum(w, 1e-6)
-
-    # Self-contacts: static pairwise harmonic mean (world row = "infinite").
-    inv_mass = jnp.concatenate(
-        [1.0 / jnp.maximum(model.body_mass, 1e-9), jnp.zeros(1, dtype=data.qvel.dtype)]
-    )
-    m_harmonic = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
-    m_eff = jnp.where(con.body1 < 0, m_delassus, m_harmonic)
+    m_eff = 1.0 / jnp.maximum(w, 1e-6)
 
     tc = jnp.maximum(model.option.contact_timeconst, 2.0 * model.option.timestep)
     zeta = model.option.contact_dampratio
