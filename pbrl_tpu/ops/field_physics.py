@@ -961,7 +961,7 @@ def _chain_dofs(spec, b):
     return out
 
 
-def _delassus_inv_mass(spec, L0, S, body, f_hat, body1=-1):
+def _delassus_inv_mass(spec, L0, invd0, S, body, f_hat, body1=-1):
     """w = J M^-1 J^T for a contact on ``body`` (vs world, or vs ``body1``)
     with unit spatial force ``f_hat`` about the origin.
 
@@ -997,7 +997,7 @@ def _delassus_inv_mass(spec, L0, S, body, f_hat, body1=-1):
             if r(j) < r(i) and L0[r(i)][r(j)] is not None and y[j] is not None:
                 term = fmul(L0[r(i)][r(j)], y[j])
                 acc = fneg(term) if acc is None else fsub(acc, term)
-        y[i] = None if acc is None else fdiv(acc, L0[r(i)][r(i)])
+        y[i] = None if acc is None else fmul(acc, invd0[r(i)])
     w = None
     for i in supp:
         if y[i] is None:
@@ -1006,7 +1006,8 @@ def _delassus_inv_mass(spec, L0, S, body, f_hat, body1=-1):
     return w
 
 
-def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
+def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None,
+                    invd0=None):
     """Streamed contacts: per-body spatial force accumulators + fall flag.
 
     With ``S``/``L0`` (motion subspace + plain-M tree factor) given, every
@@ -1051,7 +1052,7 @@ def _contact_forces(spec, xpos, xquat, cvel, origin, like, S=None, L0=None):
 
         if S is not None and (slot.body1 < 0 or spec.self_contact_delassus):
             f_hat = v3_cross(arm, n) + n  # unit spatial force about origin
-            w = _delassus_inv_mass(spec, L0, S, slot.body2, f_hat,
+            w = _delassus_inv_mass(spec, L0, invd0, S, slot.body2, f_hat,
                                    body1=slot.body1)
             m_eff = 1.0 / jnp.maximum(w, 1e-6)
         else:
@@ -1105,8 +1106,13 @@ def _factor(spec, M, lhs_extra_diag):
     produces zero fill-in: eliminating a leaf column only couples its own
     ancestors, which are already mutually coupled. We therefore run a
     standard Cholesky in reversed index space; the structural pattern is
-    exactly ``spec.m_pairs``. Returns L as a 2-D list in reversed space
-    (``L[r(i)][r(j)]``; None = structurally zero).
+    exactly ``spec.m_pairs``. Returns (L, invdiag): L as a 2-D list in
+    reversed space (``L[r(i)][r(j)]``; None = structurally zero) and the
+    reciprocal diagonal ``invdiag[j] = 1 / L[j][j]`` — computed once here
+    so every triangular solve (the acceleration solve + one Delassus solve
+    per contact slot, ~140 per substep) multiplies instead of divides
+    (VPU divides are multi-op; the reciprocals are already needed to build
+    L's columns).
     """
     n = spec.nv
     r = lambda a: n - 1 - a  # reversed-space <-> dof index
@@ -1122,11 +1128,13 @@ def _factor(spec, M, lhs_extra_diag):
     # verify no fill-in would occur (debug-grade symbolic check is implicit:
     # an update to a structurally-zero entry raises below).
     L = [[None] * n for _ in range(n)]
+    invd = [None] * n
     for j in range(n):
         d = (fsqrt(max(A[j][j], 1e-12)) if _isc(A[j][j])
              else jnp.sqrt(jnp.maximum(A[j][j], 1e-12)))
         inv = fdiv(1.0, d) if _isc(d) else 1.0 / d
         L[j][j] = d
+        invd[j] = inv
         col = [i for i in range(j + 1, n) if A[i][j] is not None]
         for i in col:
             L[i][j] = fmul(A[i][j], inv)
@@ -1140,14 +1148,14 @@ def _factor(spec, M, lhs_extra_diag):
                 A[kk][i] = fsub(A[kk][i], fmul(L[kk][j], L[i][j]))
                 if kk != i:
                     A[i][kk] = A[kk][i]
-    return L
+    return L, invd
 
 
 def _solve(spec, M, lhs_extra_diag, rhs):
     """Factor + solve in one call (see :func:`_factor`)."""
     n = spec.nv
     r = lambda a: n - 1 - a
-    L = _factor(spec, M, lhs_extra_diag)
+    L, invd = _factor(spec, M, lhs_extra_diag)
 
     rrev = [rhs[n - 1 - a] for a in range(n)]
     # forward: L y = rhs_rev
@@ -1157,7 +1165,7 @@ def _solve(spec, M, lhs_extra_diag, rhs):
         for j in range(i):
             if L[i][j] is not None:
                 acc = fsub(acc, fmul(L[i][j], y[j]))
-        y[i] = fdiv(acc, L[i][i])
+        y[i] = fmul(acc, invd[i])
     # backward: L^T x = y
     x = [None] * n
     for i in range(n - 1, -1, -1):
@@ -1165,7 +1173,7 @@ def _solve(spec, M, lhs_extra_diag, rhs):
         for j in range(i + 1, n):
             if L[j][i] is not None:
                 acc = fsub(acc, fmul(L[j][i], x[j]))
-        x[i] = fdiv(acc, L[i][i])
+        x[i] = fmul(acc, invd[i])
     return [x[r(i)] for i in range(n)]
 
 
@@ -1185,9 +1193,9 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List):
     bias = _rnea_bias(spec, S, cvel, inertias, qvel)
     # Plain-M factor for the Delassus contact masses (the acceleration solve
     # below refactors with the implicit diagonal folded in).
-    L0 = _factor(spec, M, [0.0] * spec.nv)
+    L0, invd0 = _factor(spec, M, [0.0] * spec.nv)
     facc, fall = _contact_forces(spec, xpos, xquat, cvel, origin, like,
-                                 S=S, L0=L0)
+                                 S=S, L0=L0, invd0=invd0)
 
     # subtree force sums -> constraint qfrc
     for b in range(spec.nbody - 1, -1, -1):
