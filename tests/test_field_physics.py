@@ -210,3 +210,40 @@ def test_foot_foot_contact_differential(humanoid, spec):
     vf = np.array([float(r[0]) for r in vrows])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
     np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=1e-3)
+
+
+@pytest.mark.parametrize("pair", [(-1, 12), (9, 12), (3, 11), (6, 10)])
+def test_delassus_two_body_vs_dense(humanoid, spec, pair):
+    """_delassus_inv_mass (sparse union-chain forward solve, round-4
+    two-body generalization) against a dense numpy J M^-1 J^T built from
+    the same S rows and CRBA entries."""
+    m = humanoid
+    qpos, qvel, _ = _state(m, 7)
+    xpos, xquat, S, origin = fp._fk(spec, _rows(qpos))
+    inertias = fp._spatial_inertias(spec, xpos, xquat, origin)
+    M = fp._crba(spec, S, inertias)
+    L0, invd0 = fp._factor(spec, M, [0.0] * spec.nv)
+
+    b1, b2 = pair
+    rng = np.random.default_rng(42)
+    f_hat = tuple(jnp.asarray(np.float32(v)) for v in rng.normal(size=6))
+
+    w = fp._delassus_inv_mass(spec, L0, invd0, S, b2, f_hat, body1=b1)
+
+    # dense reference
+    Md = np.zeros((spec.nv, spec.nv), np.float64)
+    for (i, j), v in M.items():
+        Md[i, j] = Md[j, i] = float(np.asarray(v).reshape(-1)[0])
+    chain2 = set(fp._chain_dofs(spec, b2))
+    chain1 = set(fp._chain_dofs(spec, b1)) if b1 >= 0 else set()
+    J = np.zeros(spec.nv)
+    for i in range(spec.nv):
+        coef = (1.0 if i in chain2 else 0.0) - (1.0 if i in chain1 else 0.0)
+        if coef:
+            si = np.array([float(np.asarray(c).reshape(-1)[0]) if not isinstance(c, float) else c
+                           for c in S[i]])
+            fh = np.array([float(np.asarray(c).reshape(-1)[0]) for c in f_hat])
+            J[i] = coef * float(si @ fh)
+    w_dense = float(J @ np.linalg.solve(Md, J))
+    w_field = float(np.asarray(w).reshape(-1)[0])
+    assert np.isclose(w_field, w_dense, rtol=2e-3, atol=1e-5), (w_field, w_dense)
