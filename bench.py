@@ -126,7 +126,11 @@ def main():
         _kernel_vs_xla_parity(model, clip)
     # The production batched env: whole physics step (8 Stable-PD substeps,
     # contacts, tree solve, integration) fused into one Pallas kernel.
-    env = MimicVecEnv(model, load_clip("walk"), EnvConfig())
+    # BENCH_SELF_DELASSUS=0 benches the round-2/3 self-contact surrogate
+    # (A/B for the exact two-body mass's cost; default = exact).
+    cfg = EnvConfig(self_contact_delassus=(
+        os.environ.get("BENCH_SELF_DELASSUS", "1") != "0"))
+    env = MimicVecEnv(model, load_clip("walk"), cfg)
 
     rng = jax.random.PRNGKey(0)
     states = jax.jit(env.reset)(jax.random.split(rng, NUM_ENVS))

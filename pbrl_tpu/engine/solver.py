@@ -89,7 +89,16 @@ def contact_forces(model: Model, data: Data) -> Data:
     chol = cholesky_factor(data.qM)
     y = _solve_lower(chol, jrow)  # (ncon, nv), broadcasts over the slot axis
     w = jnp.sum(y * y, axis=-1)
-    m_eff = 1.0 / jnp.maximum(w, 1e-6)
+    m_delassus = 1.0 / jnp.maximum(w, 1e-6)
+    if model.option.self_contact_delassus:
+        m_eff = m_delassus
+    else:
+        # round-2/3 surrogate for self rows (ground rows stay exact)
+        inv_mass = jnp.concatenate(
+            [1.0 / jnp.maximum(model.body_mass, 1e-9),
+             jnp.zeros(1, dtype=data.qvel.dtype)])
+        m_harmonic = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
+        m_eff = jnp.where(con.body1 < 0, m_delassus, m_harmonic)
 
     tc = jnp.maximum(model.option.contact_timeconst, 2.0 * model.option.timestep)
     zeta = model.option.contact_dampratio

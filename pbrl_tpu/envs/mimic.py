@@ -62,7 +62,9 @@ class MimicEnv(Env):
         # Pin the model timestep to the configured physics rate (the
         # reference forced opt.timestep the same way, agent_env_template.py:65).
         model = model.replace(
-            option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
+            option=model.option.replace(
+                timestep=jnp.asarray(config.physics_dt),
+                self_contact_delassus=config.self_contact_delassus)
         )
         if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
             # Dynamics-randomization knobs — same transform as MimicVecEnv

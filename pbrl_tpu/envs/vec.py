@@ -64,7 +64,9 @@ class MimicVecEnv:
         actuator_mask=None,
     ):
         model = model.replace(
-            option=model.option.replace(timestep=jnp.asarray(config.physics_dt))
+            option=model.option.replace(
+                timestep=jnp.asarray(config.physics_dt),
+                self_contact_delassus=config.self_contact_delassus)
         )
         if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
             # Dynamics-randomization knobs (see EnvConfig): perturb the

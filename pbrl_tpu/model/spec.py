@@ -170,6 +170,12 @@ class Option:
     limit_dampratio: jnp.ndarray         # ()
     solver_iterations: int = struct.field(pytree_node=False, default=20)
     solver: str = struct.field(pytree_node=False, default="pgd")
+    # Exact per-substep Delassus effective mass for SELF-contacts (two-body
+    # J rows; round 4). False = static pairwise harmonic surrogate for self
+    # rows (ground rows are always exact) — ~30% cheaper kernel, the round
+    # 2/3 behavior. Honored by both engines (engine/solver.py and
+    # ops/field_physics.py) so they stay differential-testable either way.
+    self_contact_delassus: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

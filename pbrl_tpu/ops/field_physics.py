@@ -519,6 +519,7 @@ def build_spec(
         limit_damp=float(opt.limit_dampratio),
         mode=mode,
         n_substeps=n_substeps,
+        self_contact_delassus=bool(opt.self_contact_delassus),
     )
 
 

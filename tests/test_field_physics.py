@@ -247,3 +247,28 @@ def test_delassus_two_body_vs_dense(humanoid, spec, pair):
     w_dense = float(J @ np.linalg.solve(Md, J))
     w_field = float(np.asarray(w).reshape(-1)[0])
     assert np.isclose(w_field, w_dense, rtol=2e-3, atol=1e-5), (w_field, w_dense)
+
+
+def test_self_contact_surrogate_flag_both_engines(humanoid):
+    """option.self_contact_delassus=False (the round-2/3 harmonic surrogate
+    for self rows) must be honored CONSISTENTLY by the einsum engine and
+    the field program — same harness/tolerances as
+    test_substep_matches_engine, on a crouched state with active foot-foot
+    contact (same seed family as test_foot_foot_contact_differential)."""
+    m = humanoid.replace(option=humanoid.option.replace(
+        self_contact_delassus=False))
+    kp, kd = generate_kp_kd_gains()
+    spec_off = fp.build_spec(m, kp=kp, kd=kd,
+                             fall_allowed_bodies=("right_ankle", "left_ankle"))
+    assert spec_off.self_contact_delassus is False
+    qpos, qvel, target = _state(m, 1, z=0.55)
+    gains = default_gains()
+    d = make_data(m, qpos=jnp.asarray(qpos, jnp.float32),
+                  qvel=jnp.asarray(qvel, jnp.float32))
+    d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
+        mm, dd, jnp.asarray(target, jnp.float32), gains))
+    q2, v2, _ = fp.substep(spec_off, _rows(qpos), _rows(qvel), _rows(target))
+    qf = np.array([float(r[0]) for r in q2])
+    vf = np.array([float(r[0]) for r in v2])
+    np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-6)
+    np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=2e-4)
