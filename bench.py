@@ -126,10 +126,10 @@ def main():
         _kernel_vs_xla_parity(model, clip)
     # The production batched env: whole physics step (8 Stable-PD substeps,
     # contacts, tree solve, integration) fused into one Pallas kernel.
-    # BENCH_SELF_DELASSUS=0 benches the round-2/3 self-contact surrogate
-    # (A/B for the exact two-body mass's cost; default = exact).
-    cfg = EnvConfig(self_contact_delassus=(
-        os.environ.get("BENCH_SELF_DELASSUS", "1") != "0"))
+    # BENCH_SELF_MASS ('step' default | 'substep' | 'static') A/Bs the
+    # self-contact effective-mass model's cost.
+    cfg = EnvConfig(self_contact_mass=os.environ.get(
+        "BENCH_SELF_MASS", "step"))
     env = MimicVecEnv(model, load_clip("walk"), cfg)
 
     rng = jax.random.PRNGKey(0)

@@ -76,7 +76,7 @@ def forward_smooth(model: Model, data: Data) -> Data:
     return data
 
 
-def forward(model: Model, data: Data, qfrc_fn=None) -> Data:
+def forward(model: Model, data: Data, qfrc_fn=None, held_self=None) -> Data:
     """Full forward dynamics: fills every derived field including qacc.
 
     ``qfrc_fn(model, data)`` — optional in-loop controller hook, invoked
@@ -86,6 +86,9 @@ def forward(model: Model, data: Data, qfrc_fn=None) -> Data:
     ``imp_damping``). This is how PD control runs *inside* the physics
     substep loop (the reference could only apply torque once per policy
     step from outside, ``agents_env/agent_mimic.py:220-228``).
+
+    ``held_self`` — optional (ncon,) policy-step-entry self-contact masses
+    ('step' mode, Option.self_contact_mass; see solver.contact_forces).
     """
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
@@ -93,7 +96,7 @@ def forward(model: Model, data: Data, qfrc_fn=None) -> Data:
     if qfrc_fn is not None:
         out = qfrc_fn(model, data)
         data = out if isinstance(out, Data) else data.replace(qfrc_applied=out)
-    data = solver.constraint_forces(model, data)
+    data = solver.constraint_forces(model, data, held_self=held_self)
     data = fwd_acceleration(model, data)
     return data
 
@@ -125,12 +128,25 @@ def integrate(model: Model, data: Data) -> Data:
     return data.replace(qpos=qpos, qvel=qvel, time=data.time + h)
 
 
-def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None, qfrc_fn=None) -> Data:
+def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None,
+         qfrc_fn=None, held_self=None) -> Data:
     """One physics substep. ``ctrl`` (if given) is held for the substep."""
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
-    data = forward(model, data, qfrc_fn=qfrc_fn)
+    data = forward(model, data, qfrc_fn=qfrc_fn, held_self=held_self)
     return integrate(model, data)
+
+
+def entry_self_contact_masses(model: Model, data: Data) -> jnp.ndarray:
+    """(ncon,) exact self-contact masses from the CURRENT (policy-step
+    entry) state, for 'step' self-contact-mass mode: kinematics + collision
+    + CRBA on a scratch copy, then the per-row Delassus solve. Ground rows
+    are recomputed exactly inside every substep regardless; only self rows
+    of the result are consumed."""
+    d = fwd_position(model, data)
+    d = kinematics.com_velocity(model, d)
+    d = dynamics.crba(model, d)
+    return solver.self_contact_masses(model, d)
 
 
 def step_n(
@@ -143,13 +159,19 @@ def step_n(
     """``n`` substeps with held control, as a ``lax.scan`` (static n).
 
     With ``qfrc_fn`` the controller re-evaluates every substep against the
-    fresh state (DeepMimic-style PD at the physics rate).
+    fresh state (DeepMimic-style PD at the physics rate). In 'step'
+    self-contact-mass mode the exact self-contact masses are solved once
+    from the entry state here and held across the scan (the fused kernel
+    does the same by unrolling substep 0).
     """
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
 
+    held = (entry_self_contact_masses(model, data)
+            if model.option.self_contact_mass == "step" else None)
+
     def body(d, _):
-        return step(model, d, qfrc_fn=qfrc_fn), None
+        return step(model, d, qfrc_fn=qfrc_fn, held_self=held), None
 
     data, _ = jax.lax.scan(body, data, None, length=n)
     return data

@@ -46,8 +46,45 @@ def _padded_ancestors(model: Model) -> jnp.ndarray:
     return jnp.concatenate([model.ancestor_mask, zero], axis=0)
 
 
-def contact_forces(model: Model, data: Data) -> Data:
-    """Solve contact forces and accumulate them into qfrc_constraint."""
+def _delassus_masses(model: Model, data: Data) -> jnp.ndarray:
+    """Exact per-row Delassus effective mass 1/(J M^-1 J^T) along each
+    contact normal, (ncon,), from the live configuration. Requires
+    kinematics + collision + qM on ``data``."""
+    con = data.contact
+    anc = _padded_ancestors(model)
+    b1 = jnp.where(con.body1 < 0, model.nbody, con.body1)
+    b2 = jnp.where(con.body2 < 0, model.nbody, con.body2)
+    danc = anc[b2] - anc[b1]  # (ncon, nv)
+    arm = con.pos - data.origin
+    n_w = con.frame[:, 0, :]
+    f_hat = jnp.concatenate([jnp.cross(arm, n_w), n_w], axis=-1)  # (ncon, 6)
+    jrow = danc * jnp.einsum("ix,cx->ci", data.subspace, f_hat,
+                             precision=jax.lax.Precision.HIGHEST)
+    from pbrl_tpu.ops.linalg import _solve_lower, cholesky_factor
+
+    chol = cholesky_factor(data.qM)
+    y = _solve_lower(chol, jrow)  # (ncon, nv)
+    w = jnp.sum(y * y, axis=-1)
+    return 1.0 / jnp.maximum(w, 1e-6)
+
+
+def self_contact_masses(model: Model, data: Data) -> jnp.ndarray:
+    """Entry-state masses for 'step' self-contact-mass mode, (ncon,).
+
+    Ground rows' values are ignored by the consumer (they stay exact
+    per-substep); self rows carry the held exact mass for the policy step.
+    """
+    return _delassus_masses(model, data)
+
+
+def contact_forces(model: Model, data: Data,
+                   held_self: jnp.ndarray | None = None) -> Data:
+    """Solve contact forces and accumulate them into qfrc_constraint.
+
+    ``held_self``: optional (ncon,) masses from the policy-step entry state
+    ('step' self-contact-mass mode, see Option.self_contact_mass) — used
+    for self-contact rows only; ground rows always recompute exactly.
+    """
     con = data.contact
     ncon = con.dist.shape[0]
     if ncon == 0:
@@ -73,32 +110,26 @@ def contact_forces(model: Model, data: Data) -> Data:
     v_frame = jnp.einsum("cij,cj->ci", con.frame, vrel)
     vn, vt = v_frame[:, 0], v_frame[:, 1:]
 
-    # Effective mass: exact Delassus 1/(J M^-1 J^T) along the normal, for
-    # ground AND self-contacts. J's row for unit normal force is exactly the
-    # force-mapping direction used below: J[c,i] = danc[c,i] *
-    # (S_i . [arm x n, n]) — danc already differences the two bodies'
-    # ancestor masks, so the same row is correct for two-body contacts —
-    # and w = ||L^-1 J^T||^2 with M = L L^T (only the forward solve is
-    # needed).
-    n_w = con.frame[:, 0, :]
-    f_hat = jnp.concatenate([jnp.cross(arm, n_w), n_w], axis=-1)  # (ncon, 6)
-    jrow = danc * jnp.einsum("ix,cx->ci", data.subspace, f_hat,
-                             precision=jax.lax.Precision.HIGHEST)
-    from pbrl_tpu.ops.linalg import _solve_lower, cholesky_factor
-
-    chol = cholesky_factor(data.qM)
-    y = _solve_lower(chol, jrow)  # (ncon, nv), broadcasts over the slot axis
-    w = jnp.sum(y * y, axis=-1)
-    m_delassus = 1.0 / jnp.maximum(w, 1e-6)
-    if model.option.self_contact_delassus:
-        m_eff = m_delassus
-    else:
-        # round-2/3 surrogate for self rows (ground rows stay exact)
+    # Effective mass: exact Delassus 1/(J M^-1 J^T) along the normal. The
+    # J row is danc[c,i] * (S_i . [arm x n, n]) — danc differences the two
+    # bodies' ancestor masks, so the same row is correct for ground AND
+    # two-body self-contacts (see _delassus_masses). Self rows follow
+    # Option.self_contact_mass: 'substep' = fresh every substep, 'step' =
+    # the held entry-state value when provided, 'static' = the round-2/3
+    # pairwise harmonic surrogate.
+    m_delassus = _delassus_masses(model, data)
+    smode = model.option.self_contact_mass
+    is_ground = con.body1 < 0
+    if smode == "static":
         inv_mass = jnp.concatenate(
             [1.0 / jnp.maximum(model.body_mass, 1e-9),
              jnp.zeros(1, dtype=data.qvel.dtype)])
         m_harmonic = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
-        m_eff = jnp.where(con.body1 < 0, m_delassus, m_harmonic)
+        m_eff = jnp.where(is_ground, m_delassus, m_harmonic)
+    elif smode == "step" and held_self is not None:
+        m_eff = jnp.where(is_ground, m_delassus, held_self)
+    else:  # 'substep', or 'step' at the policy-step entry substep
+        m_eff = m_delassus
 
     tc = jnp.maximum(model.option.contact_timeconst, 2.0 * model.option.timestep)
     zeta = model.option.contact_dampratio
@@ -164,8 +195,9 @@ def limit_forces(model: Model, data: Data) -> Data:
     return data.replace(qfrc_constraint=data.qfrc_constraint + qfrc)
 
 
-def constraint_forces(model: Model, data: Data) -> Data:
+def constraint_forces(model: Model, data: Data,
+                      held_self: jnp.ndarray | None = None) -> Data:
     data = data.replace(qfrc_constraint=jnp.zeros(model.nv, dtype=data.qvel.dtype))
-    data = contact_forces(model, data)
+    data = contact_forces(model, data, held_self=held_self)
     data = limit_forces(model, data)
     return data

@@ -127,10 +127,11 @@ class EnvConfig:
     # (higher = softer ground); friction_scale multiplies geom_friction.
     contact_tc_scale: float = 1.0
     friction_scale: float = 1.0
-    # Exact per-substep Delassus mass for self-contacts (round 4; both
-    # engines + the kernel). False = round-2/3 static harmonic surrogate
-    # for self rows — ~30% cheaper kernel, documented fidelity gap.
-    self_contact_delassus: bool = True
+    # Self-contact effective-mass model (round 4; both engines + kernel):
+    # 'step' (default) = exact two-body Delassus mass solved at policy-step
+    # entry and held across the step's substeps; 'substep' = exact every
+    # physics substep; 'static' = round-2/3 harmonic surrogate.
+    self_contact_mass: str = "step"
     # -- takeoff-state curriculum (MimicVecEnv only) --
     # On auto-reset, with this probability a finished env restarts from the
     # CURRENT state of a random alive peer env instead of from the

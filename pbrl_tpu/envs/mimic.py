@@ -64,7 +64,7 @@ class MimicEnv(Env):
         model = model.replace(
             option=model.option.replace(
                 timestep=jnp.asarray(config.physics_dt),
-                self_contact_delassus=config.self_contact_delassus)
+                self_contact_mass=config.self_contact_mass)
         )
         if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
             # Dynamics-randomization knobs — same transform as MimicVecEnv

@@ -66,7 +66,7 @@ class MimicVecEnv:
         model = model.replace(
             option=model.option.replace(
                 timestep=jnp.asarray(config.physics_dt),
-                self_contact_delassus=config.self_contact_delassus)
+                self_contact_mass=config.self_contact_mass)
         )
         if config.contact_tc_scale != 1.0 or config.friction_scale != 1.0:
             # Dynamics-randomization knobs (see EnvConfig): perturb the
@@ -355,10 +355,14 @@ class MimicVecEnv:
                     tau = masked_torque(tau, self._mask)
                 qfrc_fn = lambda mm, dd, tau=tau: torque_to_qfrc(mm, tau)
 
-            def sub(dd, _):
-                from pbrl_tpu.engine.forward import step as engine_step
+            from pbrl_tpu.engine.forward import entry_self_contact_masses
+            from pbrl_tpu.engine.forward import step as engine_step
 
-                dd = engine_step(m, dd, qfrc_fn=qfrc_fn)
+            held = (entry_self_contact_masses(m, d)
+                    if m.option.self_contact_mass == "step" else None)
+
+            def sub(dd, _):
+                dd = engine_step(m, dd, qfrc_fn=qfrc_fn, held_self=held)
                 f = task.detect_fall(m, dd, self._fall_mask)
                 return dd, f
 

@@ -170,12 +170,17 @@ class Option:
     limit_dampratio: jnp.ndarray         # ()
     solver_iterations: int = struct.field(pytree_node=False, default=20)
     solver: str = struct.field(pytree_node=False, default="pgd")
-    # Exact per-substep Delassus effective mass for SELF-contacts (two-body
-    # J rows; round 4). False = static pairwise harmonic surrogate for self
-    # rows (ground rows are always exact) — ~30% cheaper kernel, the round
-    # 2/3 behavior. Honored by both engines (engine/solver.py and
-    # ops/field_physics.py) so they stay differential-testable either way.
-    self_contact_delassus: bool = struct.field(pytree_node=False, default=True)
+    # Effective-mass model for SELF-contact rows (ground rows always use
+    # the exact per-substep Delassus mass; round 4):
+    #   'step'    — exact two-body 1/(J M^-1 J^T) solved at POLICY-STEP
+    #               entry and held for the step's substeps (default: the
+    #               coupling varies on the joint-config timescale, so a
+    #               60 Hz refresh is near-exact at ~1/8 the solve cost);
+    #   'substep' — exact, re-solved every physics substep (500 Hz);
+    #   'static'  — round-2/3 pairwise harmonic surrogate.
+    # Honored identically by engine/solver.py and ops/field_physics.py so
+    # the engines stay differential-testable in every mode.
+    self_contact_mass: str = struct.field(pytree_node=False, default="step")
 
 
 @struct.dataclass

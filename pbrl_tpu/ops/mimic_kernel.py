@@ -46,10 +46,25 @@ def _kernel(spec: fp.SubstepSpec, qpos_ref, qvel_ref, target_ref,
 
     target = [target_ref[a] for a in range(nu)]
 
+    # Substep 0 runs unrolled: in 'step' self-contact-mass mode it solves
+    # the exact self-contact Delassus masses from the policy-step entry
+    # state; the fori_loop body closes over them as loop-invariant values
+    # for substeps 1..n-1 (~1/8 the per-substep solve cost).
+    qpos = [oq_ref[i] for i in range(nq)]
+    qvel = [ov_ref[i] for i in range(nv)]
+    qpos2, qvel2, fall0, held = fp.substep(spec, qpos, qvel, target)
+    for i in range(nq):
+        oq_ref[i] = qpos2[i]
+    for i in range(nv):
+        ov_ref[i] = qvel2[i]
+    fall_ref[0] = jnp.maximum(fall_ref[0], fall0)
+    held = held or None
+
     def body(_, carry):
         qpos = [oq_ref[i] for i in range(nq)]
         qvel = [ov_ref[i] for i in range(nv)]
-        qpos2, qvel2, fall = fp.substep(spec, qpos, qvel, target)
+        qpos2, qvel2, fall, _ = fp.substep(spec, qpos, qvel, target,
+                                           held_self=held)
         for i in range(nq):
             oq_ref[i] = qpos2[i]
         for i in range(nv):
@@ -57,7 +72,7 @@ def _kernel(spec: fp.SubstepSpec, qpos_ref, qvel_ref, target_ref,
         fall_ref[0] = jnp.maximum(fall_ref[0], fall)
         return carry
 
-    jax.lax.fori_loop(0, spec.n_substeps, body, 0)
+    jax.lax.fori_loop(1, spec.n_substeps, body, 0)
 
     # final-pose FK for the reward terms
     qpos = [oq_ref[i] for i in range(nq)]

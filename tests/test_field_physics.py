@@ -56,7 +56,7 @@ def test_substep_matches_engine(humanoid, spec, seed):
     d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
         mm, dd, jnp.asarray(target, jnp.float32), gains))
 
-    q2, v2, fall = fp.substep(spec, _rows(qpos), _rows(qvel), _rows(target))
+    q2, v2, fall, _ = fp.substep(spec, _rows(qpos), _rows(qvel), _rows(target))
     qf = np.array([float(r[0]) for r in q2])
     vf = np.array([float(r[0]) for r in v2])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-6)
@@ -74,7 +74,7 @@ def test_multi_substep_trajectory(humanoid, spec):
     for _ in range(4):
         d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
             mm, dd, jnp.asarray(target, jnp.float32), gains))
-        qrows, vrows, _ = fp.substep(spec, qrows, vrows, urows)
+        qrows, vrows, _, _ = fp.substep(spec, qrows, vrows, urows)
     qf = np.array([float(r[0]) for r in qrows])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
 
@@ -113,7 +113,7 @@ def test_sphere_model_free_fall():
     spec = fp.build_spec(m, n_substeps=1)
     qrows, vrows = _rows(np.asarray(m.qpos0)), _rows(np.zeros(m.nv))
     for _ in range(3):
-        qrows, vrows, _ = fp.substep(spec, qrows, vrows, [])
+        qrows, vrows, _, _ = fp.substep(spec, qrows, vrows, [])
     h = float(m.option.timestep)
     want_vz = -9.81 * h * 3
     np.testing.assert_allclose(float(vrows[2][0]), want_vz, rtol=1e-5)
@@ -124,7 +124,7 @@ def test_torque_mode(humanoid):
     spec_t = fp.build_spec(m, mode="torque")
     qpos, qvel, _ = _state(m, 5, z=2.0)  # airborne: no contacts
     tau = np.full(m.nu, 10.0)
-    q2, v2, _ = fp.substep(spec_t, _rows(qpos), _rows(qvel), _rows(tau))
+    q2, v2, _, _ = fp.substep(spec_t, _rows(qpos), _rows(qvel), _rows(tau))
     assert all(np.isfinite(float(r[0])) for r in v2)
 
 
@@ -172,7 +172,7 @@ def test_box_box_corner_differential():
     d = make_data(m)
     for _ in range(4):
         d = engine_step(m, d)
-        qrows, vrows, _ = fp.substep(spec, qrows, vrows, [])
+        qrows, vrows, _, _ = fp.substep(spec, qrows, vrows, [])
     qf = np.array([float(r[0]) for r in qrows])
     vf = np.array([float(r[0]) for r in vrows])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-4)
@@ -205,7 +205,7 @@ def test_foot_foot_contact_differential(humanoid, spec):
     for _ in range(2):
         d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
             mm, dd, jnp.asarray(target, jnp.float32), gains))
-        qrows, vrows, _ = fp.substep(spec, qrows, vrows, _rows(target))
+        qrows, vrows, _, _ = fp.substep(spec, qrows, vrows, _rows(target))
     qf = np.array([float(r[0]) for r in qrows])
     vf = np.array([float(r[0]) for r in vrows])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
@@ -250,25 +250,66 @@ def test_delassus_two_body_vs_dense(humanoid, spec, pair):
 
 
 def test_self_contact_surrogate_flag_both_engines(humanoid):
-    """option.self_contact_delassus=False (the round-2/3 harmonic surrogate
+    """option.self_contact_mass='static' (the round-2/3 harmonic surrogate
     for self rows) must be honored CONSISTENTLY by the einsum engine and
     the field program — same harness/tolerances as
     test_substep_matches_engine, on a crouched state with active foot-foot
     contact (same seed family as test_foot_foot_contact_differential)."""
     m = humanoid.replace(option=humanoid.option.replace(
-        self_contact_delassus=False))
+        self_contact_mass="static"))
     kp, kd = generate_kp_kd_gains()
     spec_off = fp.build_spec(m, kp=kp, kd=kd,
                              fall_allowed_bodies=("right_ankle", "left_ankle"))
-    assert spec_off.self_contact_delassus is False
+    assert spec_off.self_contact_mass == "static"
     qpos, qvel, target = _state(m, 1, z=0.55)
     gains = default_gains()
     d = make_data(m, qpos=jnp.asarray(qpos, jnp.float32),
                   qvel=jnp.asarray(qvel, jnp.float32))
     d = engine_step(m, d, qfrc_fn=lambda mm, dd: implicit_pd(
         mm, dd, jnp.asarray(target, jnp.float32), gains))
-    q2, v2, _ = fp.substep(spec_off, _rows(qpos), _rows(qvel), _rows(target))
+    q2, v2, _, _ = fp.substep(spec_off, _rows(qpos), _rows(qvel), _rows(target))
     qf = np.array([float(r[0]) for r in q2])
     vf = np.array([float(r[0]) for r in v2])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-6)
     np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=2e-4)
+
+
+def test_held_self_contact_mass_trajectory(humanoid):
+    """'step' mode (default): engine step_n holds the entry-state
+    self-contact masses across the scan; the field program computes them at
+    substep 0 and reuses the returned dict. Both must stay in lockstep over
+    a 4-substep window with the foot-foot manifold active."""
+    from pbrl_tpu.engine.forward import step_n
+
+    m = humanoid
+    assert m.option.self_contact_mass == "step"
+    kp, kd = generate_kp_kd_gains()
+    spec = fp.build_spec(m, kp=kp, kd=kd,
+                         fall_allowed_bodies=("right_ankle", "left_ankle"))
+    assert spec.self_contact_mass == "step"
+
+    qpos = np.asarray(m.qpos0, np.float64).copy()
+    qpos[2] = 1.0    # airborne: isolates foot-foot from floor contacts
+    qpos[21] = 0.15  # swing right leg across (same pose as the foot-foot test)
+    qpos[22] = 0.05
+    gains = default_gains()
+    target = np.zeros(m.nu)
+
+    d = make_data(m, qpos=jnp.asarray(qpos, jnp.float32))
+    d = step_n(m, d, 4, qfrc_fn=lambda mm, dd: implicit_pd(
+        mm, dd, jnp.asarray(target, jnp.float32), gains))
+
+    qrows, vrows = _rows(qpos), _rows(np.zeros(m.nv))
+    held = None
+    for k in range(4):
+        qrows, vrows, _, out = fp.substep(spec, qrows, vrows, _rows(target),
+                                          held_self=held)
+        if k == 0:
+            assert out, "entry substep must emit held self-contact masses"
+            held = out
+        else:
+            assert not out
+    qf = np.array([float(r[0]) for r in qrows])
+    vf = np.array([float(r[0]) for r in vrows])
+    np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
+    np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=1e-3)
