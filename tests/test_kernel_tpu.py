@@ -5,8 +5,9 @@ min just to trace it on CPU, so interpret mode cannot serve as CI for the
 humanoid kernel (round-2 finding, measured again round 3). Mosaic lowering
 divergence is only observable on a real TPU anyway — this module IS that
 check, as a pytest surface mirroring ``bench.py``'s pre-timing assert:
-run ``pytest tests/test_kernel_tpu.py --runtpu`` on a machine with a chip
-(the default CPU-pinned suite skips it). The sphere-scene interpret test
+run ``PBRL_TEST_TPU=1 pytest tests/test_kernel_tpu.py`` on a machine with a
+chip (the conftest pins the CPU backend — and the tests self-skip — unless
+that variable is set; there is no ``--runtpu`` pytest flag). The sphere-scene interpret test
 (test_vec_env.py) still covers the Pallas wrapper mechanics in CPU CI, and
 the humanoid kernel *math* is covered transitively by the eager
 field-vs-engine differential tests (test_field_physics.py).
