@@ -178,8 +178,12 @@ def main():
     from pbrl_tpu.ops.field_physics import build_spec, count_substep_flops
 
     n_sub = env.config.n_substeps
+    # Build the flops spec from the env's OWN model so mode overrides
+    # (BENCH_SELF_MASS -> EnvConfig.self_contact_mass) reach the count —
+    # the raw `model` default would report 'step' flops for every mode
+    # (ADVICE r4: the three A/B records all said 60339).
     flops_sub = count_substep_flops(
-        build_spec(model, n_substeps=n_sub, mode="pd"))
+        build_spec(env.model, n_substeps=n_sub, mode="pd"))
     substeps_per_sec = per_chip * n_sub
     print(json.dumps({
         "metric": "humanoid_mimic_env_steps_per_sec_per_chip_4096envs",

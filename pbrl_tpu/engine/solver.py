@@ -22,7 +22,12 @@ ancestor path cancels in J but re-enters through the triangular solve
 (round-4; round 2/3 used a static pairwise harmonic surrogate here, the
 same fidelity-gap class as the round-2 ground surrogate). The fused kernel
 applies the identical policy (``field_physics.SubstepSpec.self_contact_
-delassus``) so the engines stay differential-testable. Force application
+mass``) so the engines stay differential-testable. Note the cost semantics
+differ by backend: the fused kernel skips the self-row Delassus solve on
+the n-1 held substeps (~1/8 of the solve cost in 'step' mode), while this
+einsum engine computes the full per-substep Delassus for every row and
+then substitutes the held self values — on the XLA engine 'step' is a
+fidelity/consistency choice (bit-matching the kernel), not a speedup. Force application
 uses the same Jacobian row implicitly: the generalized force is assembled
 with the ancestor-mask einsum
 

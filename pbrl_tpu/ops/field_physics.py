@@ -50,6 +50,14 @@ Spatial = Tuple  # (wx, wy, wz, vx, vy, vz) about the tile origin
 # bit-identical to the unfolded program up to float32 rounding of constant
 # subexpressions (folded in f64, then cast on first contact with a traced
 # field). Measured effect: ~24% of the humanoid substep's traced flops.
+#
+# Finite-values assumption: the folds assume traced fields are finite.
+# ``fsub(a, a) -> 0.0`` and ``fmul(0.0, x) -> 0.0`` silently zero a NaN/Inf
+# lane that the unfolded XLA engine would propagate. This is by design:
+# state sanitization lives one level up (utils/guards.py qvel clamping and
+# the envs' NaN quarantine, envs/vec.py), so the kernel program may treat
+# its inputs as finite. Do not rely on NaN propagation through the field
+# program for debugging — use the einsum engine (backend="xla") for that.
 
 
 def _isc(x) -> bool:
@@ -589,7 +597,7 @@ def _fk(spec: SubstepSpec, qpos: List):
             elif jm.jtype == JointType.SLIDE:
                 ax = q_rotate(bq, v3_const(jm.axis, like))
                 bp = v3_add(bp, v3_scale(ax, qpos[jm.qadr]))
-                S[jm.dadr] = (zero, zero, zero) + ax
+                S[jm.dadr] = (0.0, 0.0, 0.0) + ax
             else:
                 raise ValueError(f"joint type {jm.jtype}")
         if origin is None and b == 0:
@@ -1292,8 +1300,17 @@ def substep(spec: SubstepSpec, qpos: List, qvel: List, u: List,
 
 
 def fk_outputs(spec: SubstepSpec, qpos: List):
-    """Final-pose FK rows for reward computation: (xpos, xquat per body)."""
+    """Final-pose FK rows for reward computation: (xpos, xquat per body).
+
+    Components that stayed structural constants through FK (possible only
+    for a jointless body chain, e.g. a fixed-base test scene) are
+    materialized as field rows here via ``_ensure_field`` — consumers
+    (kernel ref-writes, ``jnp.stack``) need traced arrays.
+    """
     xpos, xquat, _, _ = _fk(spec, qpos)
+    like = qpos[0]
+    xpos = [tuple(_ensure_field(c, like) for c in p) for p in xpos]
+    xquat = [tuple(_ensure_field(c, like) for c in q) for q in xquat]
     return xpos, xquat
 
 

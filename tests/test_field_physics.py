@@ -313,3 +313,55 @@ def test_held_self_contact_mass_trajectory(humanoid):
     vf = np.array([float(r[0]) for r in vrows])
     np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
     np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=1e-3)
+
+
+_SLIDE_XML = """
+<mujoco>
+  <compiler angle="radian"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="carriage" pos="0 0 0.6">
+      <joint name="lift" type="slide" axis="0 0 1" damping="0.5"/>
+      <geom name="ball" type="sphere" size="0.12" mass="2"/>
+      <body name="arm" pos="0.2 0 0">
+        <joint name="swing" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom name="tip" type="sphere" size="0.06" pos="0.25 0 0" mass="0.5"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_slide_joint_differential():
+    """SLIDE joints through the field program match the einsum engine.
+
+    Regression for the round-4 constant-folding refactor which left the
+    SLIDE branch of ``_fk`` referencing a deleted local (`zero`) — a
+    NameError at trace time for any slide-joint model on the field/kernel
+    backend, while ``model/mjcf.py`` accepts "slide" and the einsum engine
+    supports it (engine/kinematics.py). Scene: a vertical slider falling
+    onto the floor with a swinging hinge arm, so the slide DoF exercises
+    FK, the Delassus contact mass, and integration, coupled to a hinge.
+    """
+    from pbrl_tpu.model.mjcf import load_model
+
+    m = load_model(_SLIDE_XML)
+    spec = fp.build_spec(m, n_substeps=1, mode="torque")
+
+    qpos = np.asarray(m.qpos0, np.float64).copy()
+    qpos[0] = -0.3   # slide down: ball 1 cm above the floor after drop
+    qpos[1] = 0.7    # swing the arm off-axis
+    qvel = np.array([-0.5, 1.0])
+
+    d = make_data(m, qpos=jnp.asarray(qpos, jnp.float32),
+                  qvel=jnp.asarray(qvel, jnp.float32))
+    qrows, vrows = _rows(qpos), _rows(qvel)
+    for _ in range(6):
+        d = engine_step(m, d)
+        qrows, vrows, _, _ = fp.substep(spec, qrows, vrows, [])
+    qf = np.array([float(r[0]) for r in qrows])
+    vf = np.array([float(r[0]) for r in vrows])
+    assert np.all(np.isfinite(qf)) and np.all(np.isfinite(vf))
+    np.testing.assert_allclose(qf, np.asarray(d.qpos), atol=1e-5)
+    np.testing.assert_allclose(vf, np.asarray(d.qvel), atol=1e-3)
