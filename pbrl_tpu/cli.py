@@ -63,6 +63,42 @@ def cmd_replay(args):
     return 0
 
 
+def _env_overrides(env_cfg, env_set):
+    """Apply repeatable ``--env-set FIELD=VALUE`` overrides to an EnvConfig.
+
+    Typed by the current field value: bools accept 1/true/yes, tuples parse
+    comma-separated floats/strings ('' = empty), everything else casts via
+    the field's type. Shared by ``train`` and (round 5) ``eval``/``rollout``
+    so controller-semantic knobs (e.g. ``ref_target_lead``) can be swept at
+    evaluation time on top of the checkpoint's restored run config.
+    """
+    import dataclasses
+
+    from pbrl_tpu.envs import EnvConfig
+
+    fields = {f.name for f in dataclasses.fields(EnvConfig)}
+    overrides = {}
+    for kv in env_set:
+        k, _, v = kv.partition("=")
+        if k not in fields:
+            raise SystemExit(f"--env-set: unknown EnvConfig field {k!r}")
+        cur = getattr(env_cfg, k)
+        if isinstance(cur, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, tuple):
+            # e.g. --env-set aerial_window=0.27,0.5 or
+            # fall_contact_bodies=right_ankle,left_ankle ('' = empty)
+            def conv(x):
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+            overrides[k] = tuple(conv(x) for x in v.split(",") if x != "")
+        else:
+            overrides[k] = type(cur)(v)
+    return dataclasses.replace(env_cfg, **overrides)
+
+
 def cmd_train(args):
     if args.distributed:
         # Must run before the backend initialises so every process sees the
@@ -92,29 +128,7 @@ def cmd_train(args):
                         physics_dt=args.physics_dt,
                         pose_termination=args.pose_termination)
     if args.env_set:
-        import dataclasses
-
-        fields = {f.name: f.type for f in dataclasses.fields(EnvConfig)}
-        overrides = {}
-        for kv in args.env_set:
-            k, _, v = kv.partition("=")
-            if k not in fields:
-                raise SystemExit(f"--env-set: unknown EnvConfig field {k!r}")
-            cur = getattr(env_cfg, k)
-            if isinstance(cur, bool):
-                overrides[k] = v.lower() in ("1", "true", "yes")
-            elif isinstance(cur, tuple):
-                # e.g. --env-set aerial_window=0.27,0.5 or
-                # fall_contact_bodies=right_ankle,left_ankle ('' = empty)
-                def conv(x):
-                    try:
-                        return float(x)
-                    except ValueError:
-                        return x
-                overrides[k] = tuple(conv(x) for x in v.split(",") if x != "")
-            else:
-                overrides[k] = type(cur)(v)
-        env_cfg = dataclasses.replace(env_cfg, **overrides)
+        env_cfg = _env_overrides(env_cfg, args.env_set)
     env = MimicVecEnv(humanoid_model(), load_clip(args.clip), env_cfg,
                       backend=args.backend)
     cfg = TrainConfig(
@@ -196,6 +210,10 @@ def _restore_run(args):
                                   curriculum_reset_prob=0.0,
                                   aerial_window=(), drift_w=0.0,
                                   contact_tc_scale=1.0, friction_scale=1.0)
+    # Explicit CLI overrides apply LAST: eval-time sweeps of controller-
+    # semantic knobs (e.g. ref_target_lead) on a fixed checkpoint.
+    if getattr(args, "env_set", None):
+        env_cfg = _env_overrides(env_cfg, args.env_set)
     env = MimicVecEnv(humanoid_model(), load_clip(clip), env_cfg)
     return env, train_cfg
 
@@ -370,6 +388,11 @@ def build_parser():
     sp.add_argument("--num-envs", type=int, default=128)
     sp.add_argument("--steps", type=int, default=256)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--env-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override EnvConfig fields on top of the restored "
+                         "run config (controller-semantic sweeps, e.g. "
+                         "--env-set ref_target_lead=0.025)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("rollout", help="roll a trained policy -> trajectory/video")
@@ -381,6 +404,10 @@ def build_parser():
     sp.add_argument("--video", default="")
     sp.add_argument("--camera", default="back",
                     help="named model camera for --video (back/side; '' = free)")
+    sp.add_argument("--env-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override EnvConfig fields on top of the restored "
+                         "run config (see eval --env-set)")
     sp.set_defaults(fn=cmd_rollout)
 
     sp = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -176,6 +176,18 @@ class EnvConfig:
     #             (the reference's ``step_custom_target_and_outside``,
     #             ``agent_mimic.py:239-271``).
     action_mode: str = "absolute"
+    # Extra feedforward lead (seconds) on the residual-mode PD base target:
+    # the base target is the reference pose at t + policy_dt +
+    # ref_target_lead. A PD-driven plant realizes its target with a lag set
+    # by actuator/inertia bandwidth — measured ~25-30 ms-equivalent on the
+    # backflip (logs/backflip_ceiling.json: the shipped policy scores
+    # between the 8 ms and 62.5 ms pure-delay envelope rows). Leading the
+    # base target by that lag makes the REALIZED pose line up with the
+    # reference at scoring time; the policy's residual is unchanged in
+    # meaning (a correction around the base). The policy cannot emulate
+    # this itself: its residual is state-feedback at the current phase and
+    # the same lag applies to it. 0 = off (reference semantics).
+    ref_target_lead: float = 0.0
     # implicit_pd = Stable PD fused into the integrator solve (production
     # default; same control law, one Cholesky per substep). stable_pd /
     # standard_pd / inverse_dynamics_pd mirror the reference's three

@@ -150,7 +150,8 @@ class MimicEnv(Env):
     def _target(self, data, action) -> jnp.ndarray:
         mode = self.config.action_mode
         if mode == "residual":
-            ref_q, _ = reference_state(self.clip, data.time + self.config.policy_dt)
+            lead = self.config.policy_dt + self.config.ref_target_lead
+            ref_q, _ = reference_state(self.clip, data.time + lead)
             base = ref_q[self._qposadr]
             target = base + action
         elif mode in ("absolute", "torque"):

@@ -282,8 +282,9 @@ class MimicVecEnv:
     def _target(self, qpos, t, action):
         mode = self.config.action_mode
         if mode == "residual":
+            lead = self.config.policy_dt + self.config.ref_target_lead
             q_ref, _ = jax.vmap(
-                lambda tt: reference_state(self.clip, tt + self.config.policy_dt)
+                lambda tt: reference_state(self.clip, tt + lead)
             )(t)
             action = q_ref[:, self._qposadr] + action
         if not self.config.enforce_joint_limits:

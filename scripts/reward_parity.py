@@ -117,7 +117,10 @@ def mujoco_rollout(env, policy, params, stats, steps: int, perturb: float = 0.0)
         mean, _ = policy.apply(params, normalize(stats, jnp.asarray(obs, jnp.float32)))
         action = np.asarray(mean, np.float64)
         if cfg.action_mode == "residual":
-            q_ref, _ = reference_state(env.clip, t + cfg.policy_dt)
+            # Same base-target lead as MimicVecEnv._target (ref_target_lead
+            # feedforward compensation; 0.0 for pre-round-5 checkpoints).
+            lead = cfg.policy_dt + getattr(cfg, "ref_target_lead", 0.0)
+            q_ref, _ = reference_state(env.clip, t + lead)
             action = np.asarray(q_ref)[qposadr] + action
         target = np.clip(action, lo, hi) if cfg.enforce_joint_limits else action
         for _ in range(cfg.n_substeps):

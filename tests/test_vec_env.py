@@ -512,3 +512,34 @@ def test_link_obs_feature(model, walk):
     d = kinematics(model, d).replace(time=vs.time[0])
     np.testing.assert_allclose(np.asarray(env._obs(d)),
                                np.asarray(vs.obs[0]), atol=1e-5)
+
+
+def test_ref_target_lead_shifts_residual_base(model, walk):
+    """ref_target_lead: residual base target = reference at t + dt + lead.
+
+    Feedforward lead compensation for the plant's realization lag
+    (EnvConfig.ref_target_lead; designed from the backflip timing-envelope
+    measurement, logs/backflip_ceiling.json). lead=0 must reproduce the
+    reference semantics exactly."""
+    lead = 0.025
+    env0 = MimicVecEnv(model, walk, EnvConfig(
+        policy_dt=0.004, physics_dt=0.002, action_mode="residual",
+        enforce_joint_limits=False), backend="xla")
+    env1 = MimicVecEnv(model, walk, EnvConfig(
+        policy_dt=0.004, physics_dt=0.002, action_mode="residual",
+        ref_target_lead=lead, enforce_joint_limits=False), backend="xla")
+
+    t = jnp.asarray([0.1, 0.5])
+    qpos = jnp.tile(model.qpos0[None], (2, 1))
+    act = jnp.zeros((2, env0.action_size))
+    u0 = env0._target(qpos, t, act)
+    u1 = env1._target(qpos, t, act)
+    for i in range(2):
+        q_ref0, _ = reference_state(walk, t[i] + 0.004)
+        q_ref1, _ = reference_state(walk, t[i] + 0.004 + lead)
+        np.testing.assert_allclose(np.asarray(u0[i]),
+                                   np.asarray(q_ref0)[env0._qposadr], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(u1[i]),
+                                   np.asarray(q_ref1)[env1._qposadr], atol=1e-6)
+    # The lead genuinely moves the base target on a moving clip.
+    assert float(jnp.max(jnp.abs(u1 - u0))) > 1e-4
