@@ -194,6 +194,16 @@ class EnvConfig:
     # controller families (``pds_controllers_agents.py``).
     controller: str = "implicit_pd"
     pd_per_substep: bool = True
+    # Scale the PD gain tables (control.default_gains). Closed-loop tracking
+    # bandwidth grows with sqrt(kp); the DeepMimic table's kd ~ kp/10 is
+    # near-critical, so kd should scale ~sqrt(kp_scale) to keep the damping
+    # ratio. Untried before round 5: the backflip's residual eval loss is
+    # measured SPATIAL looseness (flat cross-correlation lag landscape,
+    # docs/BACKFLIP_EXPERIMENTS.md round 5), and stiffness is the direct
+    # spatial-precision lever (arm X scaled torque LIMITS only). Stable-PD
+    # is implicit in the integrator, so large kp stays numerically stable.
+    kp_scale: float = 1.0
+    kd_scale: float = 1.0
     # Torque envelope = gear * ctrlrange * torque_limit_scale. The default 2.0
     # restores DeepMimic's full-gear limits (the reference XML's ±0.5
     # ctrlrange halves them — too weak for ballistic skills like backflip).

@@ -84,6 +84,9 @@ class MimicEnv(Env):
         from pbrl_tpu.control import default_gains
 
         self.gains = gains or default_gains()
+        if config.kp_scale != 1.0 or config.kd_scale != 1.0:
+            self.gains = ctrl.Gains(kp=self.gains.kp * config.kp_scale,
+                                    kd=self.gains.kd * config.kd_scale)
         self.actuator_mask = actuator_mask
         if actuator_mask is not None:
             mk = jnp.asarray(actuator_mask).astype(self.gains.kp.dtype)

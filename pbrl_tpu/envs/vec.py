@@ -85,6 +85,11 @@ class MimicVecEnv:
         self.config = config
         self.clip = clip if clip.ee_pos is not None else task.augment_clip(model, clip)
         self.gains = gains or default_gains()
+        if config.kp_scale != 1.0 or config.kd_scale != 1.0:
+            from pbrl_tpu.control.pd import Gains
+
+            self.gains = Gains(kp=self.gains.kp * config.kp_scale,
+                               kd=self.gains.kd * config.kd_scale)
         self.actuator_mask = actuator_mask
         if actuator_mask is not None:
             mk = jnp.asarray(actuator_mask).astype(self.gains.kp.dtype)

@@ -543,3 +543,24 @@ def test_ref_target_lead_shifts_residual_base(model, walk):
                                    np.asarray(q_ref1)[env1._qposadr], atol=1e-6)
     # The lead genuinely moves the base target on a moving clip.
     assert float(jnp.max(jnp.abs(u1 - u0))) > 1e-4
+
+
+def test_kp_kd_scale_reaches_gains_and_kernel_spec(model, walk):
+    """kp_scale/kd_scale: env gains are scaled, and the scaled table is the
+    one the physics consumes (the kernel spec is built from masked gains =
+    scaled gains when no actuator mask). Round-5 spatial-precision lever."""
+    from pbrl_tpu.control import default_gains
+    from pbrl_tpu.ops.field_physics import build_spec
+
+    base = default_gains()
+    env = MimicVecEnv(model, walk, EnvConfig(
+        policy_dt=0.004, physics_dt=0.002, kp_scale=1.5, kd_scale=1.25),
+        backend="xla")
+    np.testing.assert_allclose(np.asarray(env.gains.kp),
+                               np.asarray(base.kp) * 1.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(env.gains.kd),
+                               np.asarray(base.kd) * 1.25, rtol=1e-6)
+    spec = build_spec(env.model, kp=np.asarray(env._masked_gains.kp),
+                      kd=np.asarray(env._masked_gains.kd),
+                      n_substeps=env.config.n_substeps)
+    np.testing.assert_allclose(spec.kp, np.asarray(base.kp) * 1.5, rtol=1e-6)
