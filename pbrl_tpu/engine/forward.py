@@ -76,7 +76,8 @@ def forward_smooth(model: Model, data: Data) -> Data:
     return data
 
 
-def forward(model: Model, data: Data, qfrc_fn=None, held_self=None) -> Data:
+def forward(model: Model, data: Data, qfrc_fn=None, held_self=None,
+            use_held=None, return_self_masses: bool = False):
     """Full forward dynamics: fills every derived field including qacc.
 
     ``qfrc_fn(model, data)`` — optional in-loop controller hook, invoked
@@ -87,8 +88,11 @@ def forward(model: Model, data: Data, qfrc_fn=None, held_self=None) -> Data:
     substep loop (the reference could only apply torque once per policy
     step from outside, ``agents_env/agent_mimic.py:220-228``).
 
-    ``held_self`` — optional (ncon,) policy-step-entry self-contact masses
-    ('step' mode, Option.self_contact_mass; see solver.contact_forces).
+    ``held_self`` / ``use_held`` / ``return_self_masses`` — 'step'
+    self-contact-mass mode plumbing (Option.self_contact_mass): the held
+    policy-step-entry masses, the traced per-substep gate, and whether to
+    also return this substep's fresh Delassus masses so the caller's scan
+    carry can capture the entry substep's values (see solver.contact_forces).
     """
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
@@ -96,9 +100,12 @@ def forward(model: Model, data: Data, qfrc_fn=None, held_self=None) -> Data:
     if qfrc_fn is not None:
         out = qfrc_fn(model, data)
         data = out if isinstance(out, Data) else data.replace(qfrc_applied=out)
-    data = solver.constraint_forces(model, data, held_self=held_self)
+    out = solver.constraint_forces(model, data, held_self=held_self,
+                                   use_held=use_held,
+                                   return_masses=return_self_masses)
+    data, masses = out if return_self_masses else (out, None)
     data = fwd_acceleration(model, data)
-    return data
+    return (data, masses) if return_self_masses else data
 
 
 def _integrate_qpos(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jnp.ndarray:
@@ -129,24 +136,19 @@ def integrate(model: Model, data: Data) -> Data:
 
 
 def step(model: Model, data: Data, ctrl: Optional[jnp.ndarray] = None,
-         qfrc_fn=None, held_self=None) -> Data:
-    """One physics substep. ``ctrl`` (if given) is held for the substep."""
+         qfrc_fn=None, held_self=None, use_held=None,
+         return_self_masses: bool = False):
+    """One physics substep. ``ctrl`` (if given) is held for the substep.
+
+    With ``return_self_masses=True`` also returns this substep's fresh
+    per-row Delassus masses ``(ncon,)`` (see :func:`forward`)."""
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
-    data = forward(model, data, qfrc_fn=qfrc_fn, held_self=held_self)
-    return integrate(model, data)
-
-
-def entry_self_contact_masses(model: Model, data: Data) -> jnp.ndarray:
-    """(ncon,) exact self-contact masses from the CURRENT (policy-step
-    entry) state, for 'step' self-contact-mass mode: kinematics + collision
-    + CRBA on a scratch copy, then the per-row Delassus solve. Ground rows
-    are recomputed exactly inside every substep regardless; only self rows
-    of the result are consumed."""
-    d = fwd_position(model, data)
-    d = kinematics.com_velocity(model, d)
-    d = dynamics.crba(model, d)
-    return solver.self_contact_masses(model, d)
+    out = forward(model, data, qfrc_fn=qfrc_fn, held_self=held_self,
+                  use_held=use_held, return_self_masses=return_self_masses)
+    data, masses = out if return_self_masses else (out, None)
+    data = integrate(model, data)
+    return (data, masses) if return_self_masses else data
 
 
 def step_n(
@@ -160,18 +162,29 @@ def step_n(
 
     With ``qfrc_fn`` the controller re-evaluates every substep against the
     fresh state (DeepMimic-style PD at the physics rate). In 'step'
-    self-contact-mass mode the exact self-contact masses are solved once
-    from the entry state here and held across the scan (the fused kernel
-    does the same by unrolling substep 0).
-    """
+    self-contact-mass mode the entry substep's own constraint solve
+    supplies the exact self-contact masses, carried by the scan for
+    substeps 1..n-1 — no separate entry-state pass (the fused kernel gets
+    the same effect by unrolling substep 0, ops/mimic_kernel.py:49-61)."""
     if ctrl is not None:
         data = data.replace(ctrl=ctrl)
 
-    held = (entry_self_contact_masses(model, data)
-            if model.option.self_contact_mass == "step" else None)
+    ncon = data.contact.dist.shape[0]
+    if model.option.self_contact_mass == "step" and ncon > 0:
+
+        def body(carry, i):
+            d, held = carry
+            d, masses = step(model, d, qfrc_fn=qfrc_fn, held_self=held,
+                             use_held=i > 0, return_self_masses=True)
+            held = jnp.where(i == 0, masses, held)
+            return (d, held), None
+
+        init = (data, jnp.zeros((ncon,), dtype=data.qvel.dtype))
+        (data, _), _ = jax.lax.scan(body, init, jnp.arange(n))
+        return data
 
     def body(d, _):
-        return step(model, d, qfrc_fn=qfrc_fn, held_self=held), None
+        return step(model, d, qfrc_fn=qfrc_fn), None
 
     data, _ = jax.lax.scan(body, data, None, length=n)
     return data

@@ -22,12 +22,14 @@ ancestor path cancels in J but re-enters through the triangular solve
 (round-4; round 2/3 used a static pairwise harmonic surrogate here, the
 same fidelity-gap class as the round-2 ground surrogate). The fused kernel
 applies the identical policy (``field_physics.SubstepSpec.self_contact_
-mass``) so the engines stay differential-testable. Note the cost semantics
-differ by backend: the fused kernel skips the self-row Delassus solve on
-the n-1 held substeps (~1/8 of the solve cost in 'step' mode), while this
-einsum engine computes the full per-substep Delassus for every row and
-then substitutes the held self values — on the XLA engine 'step' is a
-fidelity/consistency choice (bit-matching the kernel), not a speedup. Force application
+mass``) so the engines stay differential-testable. Cost semantics by
+backend: the fused kernel skips the self-row Delassus solve on the n-1
+held substeps (~1/8 of the solve cost in 'step' mode); this einsum engine
+keeps self rows inside the one batched per-substep solve (a few extra rows
+of an already-batched triangular solve) and substitutes the held values —
+like the kernel, the entry substep's own fresh solve supplies the held
+masses (``contact_forces(return_masses=True)`` captured by the scan carry
+in ``forward.step_n``), so no separate entry-state pass runs. Force application
 uses the same Jacobian row implicitly: the generalized force is assembled
 with the ancestor-mask einsum
 
@@ -73,27 +75,31 @@ def _delassus_masses(model: Model, data: Data) -> jnp.ndarray:
     return 1.0 / jnp.maximum(w, 1e-6)
 
 
-def self_contact_masses(model: Model, data: Data) -> jnp.ndarray:
-    """Entry-state masses for 'step' self-contact-mass mode, (ncon,).
-
-    Ground rows' values are ignored by the consumer (they stay exact
-    per-substep); self rows carry the held exact mass for the policy step.
-    """
-    return _delassus_masses(model, data)
-
-
 def contact_forces(model: Model, data: Data,
-                   held_self: jnp.ndarray | None = None) -> Data:
+                   held_self: jnp.ndarray | None = None,
+                   use_held: jnp.ndarray | None = None,
+                   return_masses: bool = False):
     """Solve contact forces and accumulate them into qfrc_constraint.
 
     ``held_self``: optional (ncon,) masses from the policy-step entry state
     ('step' self-contact-mass mode, see Option.self_contact_mass) — used
     for self-contact rows only; ground rows always recompute exactly.
+
+    ``use_held``: optional traced bool scalar gating ``held_self`` per
+    substep inside a ``lax.scan`` (False on the entry substep, where the
+    fresh per-substep value IS the entry value; True on the held substeps).
+    When None, ``held_self is not None`` alone selects the held path.
+
+    ``return_masses``: also return the fresh per-substep Delassus masses
+    ``(ncon,)`` so the caller can capture the entry substep's values as the
+    held carry — this is how step_n gets 'step'-mode masses without a
+    separate entry pass.
     """
     con = data.contact
     ncon = con.dist.shape[0]
     if ncon == 0:
-        return data.replace(qfrc_constraint=jnp.zeros(model.nv, dtype=data.qvel.dtype))
+        out = data.replace(qfrc_constraint=jnp.zeros(model.nv, dtype=data.qvel.dtype))
+        return (out, jnp.zeros((0,), data.qvel.dtype)) if return_masses else out
 
     anc = _padded_ancestors(model)
     b1 = jnp.where(con.body1 < 0, model.nbody, con.body1)
@@ -132,7 +138,9 @@ def contact_forces(model: Model, data: Data,
         m_harmonic = 1.0 / jnp.maximum(inv_mass[b1] + inv_mass[b2], 1e-9)
         m_eff = jnp.where(is_ground, m_delassus, m_harmonic)
     elif smode == "step" and held_self is not None:
-        m_eff = jnp.where(is_ground, m_delassus, held_self)
+        m_self = (held_self if use_held is None
+                  else jnp.where(use_held, held_self, m_delassus))
+        m_eff = jnp.where(is_ground, m_delassus, m_self)
     else:  # 'substep', or 'step' at the policy-step entry substep
         m_eff = m_delassus
 
@@ -160,10 +168,11 @@ def contact_forces(model: Model, data: Data,
     per_dof = jnp.einsum("ci,cx->ix", danc, spatial_f, precision=jax.lax.Precision.HIGHEST)  # (nv, 6)
     qfrc = jnp.sum(data.subspace * per_dof, axis=-1)
 
-    return data.replace(
+    out = data.replace(
         qfrc_constraint=data.qfrc_constraint + qfrc,
         contact=con.replace(force=f_frame),
     )
+    return (out, m_delassus) if return_masses else out
 
 
 def limit_forces(model: Model, data: Data) -> Data:
@@ -201,8 +210,12 @@ def limit_forces(model: Model, data: Data) -> Data:
 
 
 def constraint_forces(model: Model, data: Data,
-                      held_self: jnp.ndarray | None = None) -> Data:
+                      held_self: jnp.ndarray | None = None,
+                      use_held: jnp.ndarray | None = None,
+                      return_masses: bool = False):
     data = data.replace(qfrc_constraint=jnp.zeros(model.nv, dtype=data.qvel.dtype))
-    data = contact_forces(model, data, held_self=held_self)
+    out = contact_forces(model, data, held_self=held_self, use_held=use_held,
+                         return_masses=return_masses)
+    data, masses = out if return_masses else (out, None)
     data = limit_forces(model, data)
-    return data
+    return (data, masses) if return_masses else data

@@ -361,18 +361,32 @@ class MimicVecEnv:
                     tau = masked_torque(tau, self._mask)
                 qfrc_fn = lambda mm, dd, tau=tau: torque_to_qfrc(mm, tau)
 
-            from pbrl_tpu.engine.forward import entry_self_contact_masses
             from pbrl_tpu.engine.forward import step as engine_step
 
-            held = (entry_self_contact_masses(m, d)
-                    if m.option.self_contact_mass == "step" else None)
+            ncon = d.contact.dist.shape[0]
+            if m.option.self_contact_mass == "step" and ncon > 0:
+                # Entry substep's own solve supplies the held self-contact
+                # masses; the scan carries them for substeps 1..n-1 (same
+                # structure as the fused kernel's unrolled substep 0).
+                def sub(carry, i):
+                    dd, held = carry
+                    dd, masses = engine_step(
+                        m, dd, qfrc_fn=qfrc_fn, held_self=held,
+                        use_held=i > 0, return_self_masses=True)
+                    held = jnp.where(i == 0, masses, held)
+                    f = task.detect_fall(m, dd, self._fall_mask)
+                    return (dd, held), f
 
-            def sub(dd, _):
-                dd = engine_step(m, dd, qfrc_fn=qfrc_fn, held_self=held)
-                f = task.detect_fall(m, dd, self._fall_mask)
-                return dd, f
+                init = (d, jnp.zeros((ncon,), dtype=d.qvel.dtype))
+                (d, _), falls = jax.lax.scan(sub, init, jnp.arange(n))
+            else:
 
-            d, falls = jax.lax.scan(sub, d, None, length=n)
+                def sub(dd, _):
+                    dd = engine_step(m, dd, qfrc_fn=qfrc_fn)
+                    f = task.detect_fall(m, dd, self._fall_mask)
+                    return dd, f
+
+                d, falls = jax.lax.scan(sub, d, None, length=n)
             d = run_kinematics(m, d)
             return d.qpos, d.qvel, d.xpos, d.xquat, jnp.max(falls.astype(jnp.float32))
 
