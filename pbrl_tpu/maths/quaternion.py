@@ -17,6 +17,7 @@ jnp — usable on device inside the simulator, not just host-side.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # A small epsilon used to stabilise divisions / square roots near zero.
@@ -197,10 +198,36 @@ def from_euler_rxyz(euler: jnp.ndarray) -> jnp.ndarray:
     return mul(from_rotvec(ex), mul(from_rotvec(ey), from_rotvec(ez)))
 
 
+@jax.custom_jvp
 def angle_between(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
-    """Geodesic angle between two unit quaternions, in [0, pi]."""
+    """Geodesic angle between two unit quaternions, in [0, pi].
+
+    The forward value is the plain ``2 arccos |<q1, q2>|``; the derivative is
+    supplied by a custom JVP because ``d/dx arccos`` diverges as ``|<q1,q2>|
+    -> 1`` — in f32, ``1 - d^2`` underflows to 0 near perfect alignment and
+    autodiff produces ``0 * inf = NaN`` exactly where an imitation policy
+    tracks well. Analytically the chain through ``angle^2`` stays finite
+    (``theta / sqrt(1 - d^2) -> 2``), so the JVP clamps the derivative factor
+    at ``d = 1 - 1e-6`` (bounding it at ~1.4e3) and the composed gradient of
+    any smooth function of the angle matches the true limit to rounding.
+    Needed by the analytic-policy-gradient trainer (train/apg.py), which
+    backpropagates the DeepMimic pose reward through the simulator.
+    """
     d = jnp.abs(jnp.sum(q1 * q2, axis=-1))
     return 2.0 * jnp.arccos(jnp.clip(d, -1.0, 1.0))
+
+
+@angle_between.defjvp
+def _angle_between_jvp(primals, tangents):
+    q1, q2 = primals
+    dq1, dq2 = tangents
+    s = jnp.sum(q1 * q2, axis=-1)
+    d = jnp.abs(s)
+    ans = 2.0 * jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    ds = jnp.sum(dq1 * q2 + q1 * dq2, axis=-1)
+    d_safe = jnp.clip(d, -1.0 + 1e-6, 1.0 - 1e-6)
+    factor = -2.0 / jnp.sqrt(1.0 - d_safe * d_safe)
+    return ans, factor * jnp.sign(s) * ds
 
 
 def box_minus(q_new: jnp.ndarray, q_old: jnp.ndarray, dt) -> jnp.ndarray:
