@@ -171,6 +171,91 @@ def cmd_train(args):
     return 0
 
 
+def _dataclass_overrides(cfg, kvs, flag):
+    """Apply repeatable FIELD=VALUE overrides to a dataclass config."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(type(cfg))}
+    overrides = {}
+    for kv in kvs:
+        k, _, v = kv.partition("=")
+        if k not in fields:
+            raise SystemExit(
+                f"{flag}: unknown {type(cfg).__name__} field {k!r}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, tuple):
+            overrides[k] = tuple(int(x) for x in v.split(","))
+        else:
+            overrides[k] = type(cur)(v)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def cmd_train_apg(args):
+    """Analytic-policy-gradient training/fine-tune over the differentiable
+    simulator (train/apg.py) — typically warm-started from a PPO run."""
+    from pbrl_tpu.envs import EnvConfig, MimicVecEnv
+    from pbrl_tpu.mocap import load_clip
+    from pbrl_tpu.model import humanoid_model
+    from pbrl_tpu.train import APGConfig, train_apg
+    from pbrl_tpu.train.checkpoint import load_run_config
+    from pbrl_tpu.utils.configio import dict_to_config
+
+    env_cfg, clip, run = EnvConfig(), args.clip or "walk", None
+    if args.from_checkpoint:
+        # Fine-tunes inherit the source run's FULL training env (including
+        # training-only shaping like RSI noise / aerial window) so the APG
+        # objective continues the same optimisation problem; --env-set
+        # overrides apply on top.
+        run = load_run_config(args.from_checkpoint)
+        if run is not None:
+            if run.get("env_config"):
+                env_cfg = dict_to_config(EnvConfig, run["env_config"])
+            clip = args.clip or run.get("clip") or clip
+    if args.env_set:
+        env_cfg = _env_overrides(env_cfg, args.env_set)
+    # The fused Pallas kernel defines no VJP; APG requires the XLA engine.
+    env = MimicVecEnv(humanoid_model(), load_clip(clip), env_cfg,
+                      backend="xla")
+    cfg = APGConfig(
+        num_envs=args.num_envs,
+        horizon=args.horizon,
+        learning_rate=args.lr,
+        gamma=args.gamma,
+        total_env_steps=args.total_steps,
+        seed=args.seed,
+    )
+    if run is not None and run.get("train_config"):
+        # Network-architecture fields must match the restored params.
+        import dataclasses
+
+        tc = run["train_config"]
+        cfg = dataclasses.replace(
+            cfg,
+            hidden=tuple(tc.get("hidden", cfg.hidden)),
+            normalize_obs=tc.get("normalize_obs", cfg.normalize_obs),
+            init_log_std=tc.get("init_log_std", cfg.init_log_std),
+            fixed_log_std=tc.get("fixed_log_std", cfg.fixed_log_std),
+        )
+    if args.apg_set:
+        cfg = _dataclass_overrides(cfg, args.apg_set, "--apg-set")
+
+    def progress(it, metrics):
+        print(json.dumps({"iteration": it,
+                          **{k: round(v, 5) if isinstance(v, float) else v
+                             for k, v in metrics.items()}}))
+
+    params, stats, history = train_apg(
+        env, cfg, progress_fn=progress if args.verbose else None,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.from_checkpoint,
+    )
+    print(json.dumps({"final": history[-1] if history else {}}))
+    return 0
+
+
 def _restore_run(args):
     """(env, train_cfg) reconstructed from the checkpoint's run config.
 
@@ -382,6 +467,34 @@ def build_parser():
     sp.add_argument("--process-id", type=int, default=None)
     sp.set_defaults(fn=cmd_train)
 
+    sp = sub.add_parser(
+        "train-apg",
+        help="analytic-policy-gradient training through the differentiable "
+             "simulator (SHAC/DiffMimic-style; usually a PPO fine-tune)")
+    _add_clip_arg(sp, default=None)  # None: use the source run's clip
+    sp.add_argument("--from-checkpoint", default=None,
+                    help="warm-start params/obs-stats (and inherit the "
+                         "training env config) from this checkpoint dir")
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--checkpoint-every", type=int, default=50)
+    sp.add_argument("--num-envs", type=int, default=256)
+    sp.add_argument("--horizon", type=int, default=32,
+                    help="truncated-BPTT window length (policy steps)")
+    sp.add_argument("--total-steps", type=int, default=2_000_000)
+    sp.add_argument("--lr", type=float, default=2e-5)
+    sp.add_argument("--gamma", type=float, default=0.95)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--env-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override EnvConfig fields on top of the inherited "
+                         "run config")
+    sp.add_argument("--apg-set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override any APGConfig field (repeatable), e.g. "
+                         "--apg-set action_noise=0.02 --apg-set remat=false")
+    sp.add_argument("--quiet", dest="verbose", action="store_false")
+    sp.set_defaults(fn=cmd_train_apg)
+
     sp = sub.add_parser("eval", help="evaluate a checkpoint")
     _add_clip_arg(sp, default=None)  # None: use the checkpoint's run config
     sp.add_argument("--checkpoint-dir", required=True)
@@ -419,9 +532,18 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    # Persistent compilation cache: repeated CLI invocations (eval sweeps,
+    # parity harness, fine-tune campaigns) re-jit the same physics programs;
+    # the cache turns minutes of XLA compile into a disk read. Opt out with
+    # PBRL_COMPILE_CACHE=0 (e.g. when bisecting compiler behavior).
+    cache = os.environ.get("PBRL_COMPILE_CACHE",
+                           os.path.expanduser("~/.pbrl_jax_cache"))
+    if cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform:
         jax.config.update(
             "jax_platforms", "axon" if args.platform == "tpu" else args.platform)
     return args.fn(args)

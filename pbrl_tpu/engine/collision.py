@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbrl_tpu.maths import quaternion as quat
+from pbrl_tpu.maths.numeric import safe_norm
 from pbrl_tpu.model.spec import GeomType, Model
 from pbrl_tpu.engine.data import Contact, Data
 
@@ -91,7 +92,7 @@ def _make_frame(normal: jnp.ndarray) -> jnp.ndarray:
         jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), normal.shape),
     )
     t1 = jnp.cross(normal, ref)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t1 = t1 / jnp.maximum(safe_norm(t1, axis=-1, keepdims=True), 1e-12)
     t2 = jnp.cross(normal, t1)
     return jnp.stack([normal, t1, t2], axis=-2)
 
@@ -99,7 +100,7 @@ def _make_frame(normal: jnp.ndarray) -> jnp.ndarray:
 def _sphere_sphere(c1, r1, c2, r2):
     """Returns (dist, pos, normal) for point-sphere pairs; normal 1 -> 2."""
     d = c2 - c1
-    ln = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ln = safe_norm(d, axis=-1, keepdims=True)
     n = d / jnp.maximum(ln, 1e-9)
     dist = ln[..., 0] - (r1 + r2)
     pos = c1 + n * (r1 + 0.5 * dist)[..., None]
@@ -142,7 +143,9 @@ def _point_box(p_local, half):
     """
     clamped = jnp.clip(p_local, -half, half)
     delta = p_local - clamped
-    out_d = jnp.linalg.norm(delta, axis=-1)
+    # safe_norm: delta is EXACTLY zero for interior points — linalg.norm's
+    # backward would be 0/0 NaN there despite the `outside` where-select.
+    out_d = safe_norm(delta, axis=-1)
     outside = out_d > 1e-9
     n_out = delta / jnp.maximum(out_d, 1e-9)[..., None]
     # interior: push out through the nearest face

@@ -43,6 +43,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pbrl_tpu.maths.numeric import safe_norm
 from pbrl_tpu.model.spec import JointType, Model
 from pbrl_tpu.engine.data import Data
 
@@ -155,7 +156,9 @@ def contact_forces(model: Model, data: Data,
     fn = jnp.maximum(fn, 0.0) * active
 
     ft_raw = -m_eff[:, None] * (2.0 / tc) * vt
-    ft_norm = jnp.linalg.norm(ft_raw, axis=-1)
+    # safe_norm: ft_raw is EXACTLY zero at rest and on zero-mass held
+    # self-contact rows — linalg.norm's backward would inject NaN there.
+    ft_norm = safe_norm(ft_raw, axis=-1)
     cone = con.friction * fn
     scale = jnp.where(ft_norm > 1e-9, jnp.minimum(1.0, cone / jnp.maximum(ft_norm, 1e-9)), 0.0)
     ft = ft_raw * scale[:, None] * active[:, None]

@@ -20,6 +20,7 @@ from pbrl_tpu.engine.data import Data
 from pbrl_tpu.engine.kinematics import kinematics as run_kinematics
 from pbrl_tpu.engine.data import make_data
 from pbrl_tpu.maths import quaternion as quat
+from pbrl_tpu.maths.numeric import safe_norm
 from pbrl_tpu.mocap.clip import MotionClip
 from pbrl_tpu.mocap.skeleton import DOF, MODEL_JOINT_ORDER
 from pbrl_tpu.model.spec import Model
@@ -80,7 +81,7 @@ def joint_pose_errors(model: Model, qpos: jnp.ndarray, qpos_ref: jnp.ndarray) ->
 
 def root_pose_error(qpos: jnp.ndarray, qpos_ref: jnp.ndarray):
     """(pos_err(3-norm), rot_err angle) of the free root."""
-    pos = jnp.linalg.norm(qpos[:3] - qpos_ref[:3])
+    pos = safe_norm(qpos[:3] - qpos_ref[:3])
     rot = quat.angle_between(quat.normalize(qpos[3:7]), quat.normalize(qpos_ref[3:7]))
     return pos, rot
 

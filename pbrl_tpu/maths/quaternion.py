@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pbrl_tpu.maths.numeric import safe_norm
+
 # A small epsilon used to stabilise divisions / square roots near zero.
 _EPS = 1e-12
 
@@ -31,8 +33,8 @@ def identity(shape=()) -> jnp.ndarray:
 
 
 def normalize(q: jnp.ndarray) -> jnp.ndarray:
-    """Normalise to unit quaternion (safe near zero norm)."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    """Normalise to unit quaternion (safe near zero norm, incl. gradients)."""
+    n = safe_norm(q, axis=-1, keepdims=True)
     return q / jnp.maximum(n, _EPS)
 
 
@@ -93,7 +95,7 @@ def to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 0:1] < 0, -q, q)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:4]
-    sin_half = jnp.linalg.norm(v, axis=-1)
+    sin_half = safe_norm(v, axis=-1)
     angle = 2.0 * jnp.arctan2(sin_half, w)
     # angle / sin(angle/2) with series fallback:  2 + angle^2/12 * ... ~ 2
     scale = jnp.where(sin_half < 1e-7, 2.0 + angle * angle / 12.0, angle / jnp.maximum(sin_half, _EPS))
@@ -102,7 +104,7 @@ def to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
 
 def from_rotvec(rv: jnp.ndarray) -> jnp.ndarray:
     """Quaternion from a rotation vector (exp map), stable at small angles."""
-    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    angle = safe_norm(rv, axis=-1, keepdims=True)
     half = 0.5 * angle
     # sin(half)/angle with series fallback 0.5 - angle^2/48.
     small = angle < 1e-7

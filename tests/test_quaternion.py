@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation as R
 
+import jax
 import jax.numpy as jnp
 
 from pbrl_tpu.maths import quaternion as quat
@@ -107,3 +108,51 @@ def test_angle_between():
     ang = jnp.asarray([0.1, 0.5, 1.0, 3.0])
     qb = quat.from_axis_angle(ax, ang)
     np.testing.assert_allclose(np.asarray(quat.angle_between(qa, qb)), np.asarray(ang), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gradient safety: the analytic-policy-gradient trainer backpropagates
+# through every quaternion op; the degenerate points below are routinely hit
+# (identity rotations, perfectly tracked references) and raw autodiff of
+# norm/arccos compositions yields NaN exactly there.
+# ---------------------------------------------------------------------------
+
+
+def test_angle_between_grad_finite_at_alignment():
+    q = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    g = jax.grad(lambda a: quat.angle_between(a, q) ** 2)(q)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # Away from the singularity the custom JVP matches raw autodiff.
+    qa = quat.normalize(jnp.asarray([0.9, 0.3, 0.2, 0.1]))
+    qb = quat.normalize(jnp.asarray([0.7, -0.4, 0.5, 0.2]))
+    raw = lambda a, b: 2.0 * jnp.arccos(
+        jnp.clip(jnp.abs(jnp.sum(a * b)), -1.0, 1.0))
+    for other in (qb, -qb):  # both hemispheres (the |.| sign path)
+        g1 = jax.grad(quat.angle_between)(qa, other)
+        g2 = jax.grad(raw)(qa, other)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_rotvec_round_trip_grads_finite_at_identity():
+    z3 = jnp.zeros((3,))
+    g = jax.grad(lambda rv: jnp.sum(quat.from_rotvec(rv) ** 2))(z3)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    qid = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    g2 = jax.grad(lambda q: jnp.sum(quat.to_rotvec(q) ** 2))(qid)
+    assert bool(jnp.all(jnp.isfinite(g2)))
+    g3 = jax.grad(lambda q: jnp.sum(quat.normalize(q) ** 2))(qid)
+    assert bool(jnp.all(jnp.isfinite(g3)))
+
+
+def test_safe_norm_forward_exact_grad_finite():
+    from pbrl_tpu.maths import safe_norm
+
+    x = jnp.asarray([[3.0, 4.0, 0.0], [1e-3, 0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(safe_norm(x, axis=-1)),
+                               np.asarray(jnp.linalg.norm(x, axis=-1)),
+                               rtol=1e-7)
+    # At exactly zero: forward 0, gradient 0 (not NaN like linalg.norm).
+    g = jax.grad(lambda v: safe_norm(v))(jnp.zeros((3,)))
+    assert bool(jnp.all(g == 0.0))
+    g_bad = jax.grad(lambda v: jnp.linalg.norm(v))(jnp.zeros((3,)))
+    assert not bool(jnp.all(jnp.isfinite(g_bad)))  # the trap being fixed
