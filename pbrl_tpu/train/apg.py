@@ -67,6 +67,14 @@ class APGConfig:
     max_grad_norm: float = 1.0
     normalize_obs: bool = True
     update_obs_stats: bool = False  # fine-tunes keep the PPO stats frozen
+    # Demonstration replay (DiffMimic, Ren et al. 2023): force a FULL batch
+    # reset every k iterations (0 disables; 1 = every window starts from a
+    # fresh reference-state init). Long free rollouts of a chaotic clip
+    # push the state off the demonstration manifold where the exact BPTT
+    # gradient explodes and anti-correlates with the true improvement
+    # direction; restarting windows from RSI states keeps every gradient
+    # evaluated near the reference, where it is informative.
+    reset_every: int = 0
     hidden: tuple = (1024, 512)
     total_env_steps: int = 2_000_000
     seed: int = 0
@@ -211,6 +219,10 @@ def make_apg_functions(env: Env, config: APGConfig):
         final_state = aux["final_state"]
         fresh = reset_batch(jax.random.split(k_reset, config.num_envs))
         d = aux["ever_done"].astype(bool)
+        if config.reset_every > 0:
+            it = ts.env_steps // config.steps_per_iteration
+            force = (it % config.reset_every) == (config.reset_every - 1)
+            d = jnp.logical_or(d, force)
         sel = lambda a, b: jnp.where(
             d.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
         env_state = jax.tree.map(sel, fresh, final_state)

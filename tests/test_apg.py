@@ -48,6 +48,31 @@ def test_apg_learns_match_env():
     assert float(ev["eval_reward"]) > 0.6
 
 
+def test_apg_reset_every_restarts_windows():
+    """Demonstration-replay mode: reset_every=1 forces a full batch reset
+    after every window, so the carried env state is always freshly
+    initialised (MatchEnv pins this via its info['t'] step counter, which a
+    4-step window would otherwise leave at 4)."""
+    env = MatchEnv()
+    init, step_free, _ = make_apg_functions(env, _tiny_config(horizon=4))
+    init_r, step_reset, _ = make_apg_functions(
+        env, _tiny_config(horizon=4, reset_every=1))
+    ts = init(jax.random.PRNGKey(0))
+    ts_free, _ = jax.jit(step_free)(ts)
+    ts_reset, _ = jax.jit(step_reset)(init_r(jax.random.PRNGKey(0)))
+    assert np.all(np.asarray(ts_free.env_state.info["t"]) == 4.0)
+    assert np.all(np.asarray(ts_reset.env_state.info["t"]) == 0.0)
+    # And learning still works in replay mode.
+    step_reset = jax.jit(step_reset)
+    ts2 = init_r(jax.random.PRNGKey(0))
+    first = None
+    for _ in range(40):
+        ts2, metrics = step_reset(ts2)
+        if first is None:
+            first = float(metrics["reward_mean"])
+    assert float(metrics["reward_mean"]) > max(first + 0.3, 0.6)
+
+
 def test_apg_value_bootstrap_keeps_critic_frozen():
     env = MatchEnv()
     cfg = _tiny_config(value_bootstrap=True)
