@@ -250,6 +250,7 @@ def cmd_train_apg(args):
         env, cfg, progress_fn=progress if args.verbose else None,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        steps_per_call=args.steps_per_call,
         resume_from=args.from_checkpoint,
     )
     print(json.dumps({"final": history[-1] if history else {}}))
@@ -477,6 +478,9 @@ def build_parser():
                          "training env config) from this checkpoint dir")
     sp.add_argument("--checkpoint-dir", default=None)
     sp.add_argument("--checkpoint-every", type=int, default=50)
+    sp.add_argument("--steps-per-call", type=int, default=10,
+                    help="iterations fused per jit call (progress "
+                         "granularity; smaller = finer probe telemetry)")
     sp.add_argument("--num-envs", type=int, default=256)
     sp.add_argument("--horizon", type=int, default=32,
                     help="truncated-BPTT window length (policy steps)")

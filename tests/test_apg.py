@@ -161,7 +161,10 @@ def test_apg_train_entry_and_ppo_warm_start(tmp_path):
     cfg = _tiny_config(num_envs=8, horizon=4, total_env_steps=8 * 4 * 3,
                        hidden=(32, 32))
     params, stats, history = train_apg(env, cfg, checkpoint_dir=dst,
-                                       resume_from=src, checkpoint_every=1)
+                                       resume_from=src, checkpoint_every=1,
+                                       steps_per_call=1)
+    # steps_per_call=1 (CLI --steps-per-call): one history row per iteration.
+    assert len(history) == cfg.num_iterations
     assert history and "sps" in history[-1]
     # Warm start took the PPO critic verbatim (APG never updates it).
     for a, b in zip(jax.tree.leaves(ts_p.params["value"]),
